@@ -1,0 +1,218 @@
+"""Pore models: k-mer -> Gaussian(level_mean, level_stdv) lookup tables.
+
+A pore model maps every k-mer of an alphabet (nucleotide ACGT or
+cytosine-methylation-aware ACGMT) to the expected pico-ampere current level
+and its standard deviation.  On TPU the whole table lives device-resident
+as two float32 vectors indexed by k-mer rank; emission probabilities are a
+gather + fused elementwise Gaussian log-pdf.
+
+File format parity: f5c/nanopolish text models (reference: src/model.c
+read_model; header lines ``#k <int>`` etc., rows ``KMER\tmean\tstdv...``).
+
+Built-in models are stored as ``.npz`` files under ``f5c_tpu/models/data/``,
+generated from the ONT-published model tables vendored by the reference
+(test/r9-models, test/rna004-models) by ``scripts/convert_models.py``.
+These are measured instrument calibration DATA (Oxford Nanopore pore
+characterisations), not code.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+import numpy as np
+
+_DATA_DIR = os.path.join(os.path.dirname(__file__), "data")
+
+# Alphabet ranks. DNA: A=0 C=1 G=2 T=3 (2-bit, align.c:19-47).
+# Methylation alphabet: A=0 C=1 G=2 M=3 T=4 (base-5, hmm.c:30-61).
+_DNA_RANK = np.full(256, 0, dtype=np.int64)
+for i, b in enumerate("ACGT"):
+    _DNA_RANK[ord(b)] = i
+_METH_RANK = np.full(256, 0, dtype=np.int64)
+for i, b in enumerate("ACGMT"):
+    _METH_RANK[ord(b)] = i
+
+
+def _seq_to_codes(seq: str | bytes | np.ndarray, table: np.ndarray) -> np.ndarray:
+    if isinstance(seq, str):
+        seq = seq.encode("ascii")
+    if isinstance(seq, (bytes, bytearray)):
+        seq = np.frombuffer(bytes(seq), dtype=np.uint8)
+    return table[seq]
+
+
+def kmer_ranks_dna(seq: str | bytes | np.ndarray, k: int) -> np.ndarray:
+    """Rank of every k-mer of ``seq`` in the ACGT alphabet (vectorised).
+
+    rank(kmer) = sum_i rank(base_i) * 4^(k-1-i)  — i.e. the first base is
+    the most significant digit, matching get_kmer_rank (align.c:36-47).
+    Non-ACGT characters rank as A (align.c:28-31 warns and returns 0).
+    """
+    codes = _seq_to_codes(seq, _DNA_RANK)
+    n = codes.shape[0] - k + 1
+    if n <= 0:
+        return np.zeros(0, dtype=np.int64)
+    ranks = np.zeros(n, dtype=np.int64)
+    for i in range(k):
+        ranks = (ranks << 2) + codes[i : i + n]
+    return ranks
+
+
+def kmer_ranks_meth(seq: str | bytes | np.ndarray, k: int) -> np.ndarray:
+    """Rank of every k-mer of ``seq`` in the ACGMT (base-5) alphabet."""
+    codes = _seq_to_codes(seq, _METH_RANK)
+    n = codes.shape[0] - k + 1
+    if n <= 0:
+        return np.zeros(0, dtype=np.int64)
+    ranks = np.zeros(n, dtype=np.int64)
+    for i in range(k):
+        ranks = ranks * 5 + codes[i : i + n]
+    return ranks
+
+
+@dataclass
+class PoreModel:
+    """A loaded pore model table.
+
+    ``level_mean``/``level_stdv``/``level_log_stdv`` are float32 vectors of
+    length ``alphabet_size ** k`` indexed by k-mer rank.  ``level_log_stdv``
+    is precomputed (CACHED_LOG, f5c.h:86).
+    """
+
+    k: int
+    alphabet: str                    # "nucleotide" (ACGT) or "meth" (ACGMT)
+    level_mean: np.ndarray
+    level_stdv: np.ndarray
+    name: str = ""
+    meta: dict = field(default_factory=dict)
+    level_log_stdv: np.ndarray = field(init=False)
+
+    def __post_init__(self):
+        self.level_mean = np.asarray(self.level_mean, dtype=np.float32)
+        self.level_stdv = np.asarray(self.level_stdv, dtype=np.float32)
+        expected = (5 if self.alphabet == "meth" else 4) ** self.k
+        if self.level_mean.shape[0] != expected:
+            raise ValueError(
+                f"model has {self.level_mean.shape[0]} kmers, expected "
+                f"{expected} for k={self.k} alphabet={self.alphabet}"
+            )
+        self.level_log_stdv = np.log(self.level_stdv).astype(np.float32)
+
+    @property
+    def num_kmers(self) -> int:
+        return self.level_mean.shape[0]
+
+    def kmer_ranks(self, seq, *_, **__) -> np.ndarray:
+        if self.alphabet == "meth":
+            return kmer_ranks_meth(seq, self.k)
+        return kmer_ranks_dna(seq, self.k)
+
+    def save_npz(self, path: str):
+        np.savez_compressed(
+            path,
+            k=self.k,
+            alphabet=self.alphabet,
+            name=self.name,
+            level_mean=self.level_mean,
+            level_stdv=self.level_stdv,
+        )
+
+    @staticmethod
+    def load_npz(path: str) -> "PoreModel":
+        z = np.load(path, allow_pickle=False)
+        return PoreModel(
+            k=int(z["k"]),
+            alphabet=str(z["alphabet"]),
+            name=str(z["name"]),
+            level_mean=z["level_mean"],
+            level_stdv=z["level_stdv"],
+        )
+
+
+def load_model_file(path: str, alphabet: str | None = None) -> PoreModel:
+    """Parse an f5c/nanopolish text model file.
+
+    Header lines start with ``#`` (``#k <int>`` gives the k-mer size,
+    ``#alphabet <name>`` the alphabet); an optional column-header row starts
+    with ``kmer``; data rows are ``KMER\\tlevel_mean\\tlevel_stdv[...]``.
+    The alphabet is inferred from the row count when not given
+    (4^k rows -> nucleotide, 5^k rows -> meth).
+    """
+    k = None
+    meta: dict = {}
+    kmers: list[str] = []
+    means: list[float] = []
+    stdvs: list[float] = []
+    with open(path) as f:
+        for line in f:
+            line = line.rstrip("\n")
+            if not line:
+                continue
+            if line.startswith("#"):
+                parts = line[1:].split("\t")
+                if len(parts) >= 2:
+                    meta[parts[0]] = parts[1]
+                    if parts[0] == "k":
+                        k = int(parts[1])
+                continue
+            if line.startswith("kmer\t") or line.startswith("kmer "):
+                continue
+            cols = line.split("\t")
+            kmers.append(cols[0])
+            means.append(float(cols[1]))
+            stdvs.append(float(cols[2]))
+    if k is None:
+        k = len(kmers[0])
+    n = len(kmers)
+    if alphabet is None:
+        if n == 4**k:
+            alphabet = "nucleotide"
+        elif n == 5**k:
+            alphabet = "meth"
+        else:
+            raise ValueError(f"{path}: {n} rows is neither 4^{k} nor 5^{k}")
+    rank_fn = kmer_ranks_meth if alphabet == "meth" else kmer_ranks_dna
+    size = (5 if alphabet == "meth" else 4) ** k
+    level_mean = np.zeros(size, dtype=np.float32)
+    level_stdv = np.ones(size, dtype=np.float32)
+    for kmer, m, s in zip(kmers, means, stdvs):
+        # direct-RNA tables are published over ACGU; the pipeline works in
+        # U->T space (reads are U->T converted at load, f5cio.c)
+        r = int(rank_fn(kmer.replace("U", "T"), k)[0])
+        level_mean[r] = m
+        level_stdv[r] = s
+    return PoreModel(
+        k=k,
+        alphabet=alphabet,
+        level_mean=level_mean,
+        level_stdv=level_stdv,
+        name=meta.get("ont_model_name", os.path.basename(path)),
+        meta=meta,
+    )
+
+
+# Built-in registry: model-id -> npz filename.  Mirrors f5cmisc.h:24-30
+# (MODEL_ID_DNA_NUCLEOTIDE / DNA_CPG / RNA_NUCLEOTIDE / RNA004_NUCLEOTIDE).
+# R10.4.1 9-mer tables are not redistributable from the stripped reference;
+# use --kmer-model/--meth-model with a custom file for R10.
+BUILTIN_MODELS = {
+    "dna_r9_nucleotide": "r9.4_450bps.nucleotide.6mer.npz",
+    "dna_r9_cpg": "r9.4_450bps.cpg.6mer.npz",
+    "rna_r9_nucleotide": "r9.4_70bps.u_to_t_rna.5mer.npz",
+    "rna004_nucleotide": "rna004.nucleotide.5mer.npz",
+}
+
+_cache: dict[str, PoreModel] = {}
+
+
+def builtin_model(model_id: str) -> PoreModel:
+    if model_id not in BUILTIN_MODELS:
+        raise KeyError(
+            f"unknown builtin model {model_id!r}; have {sorted(BUILTIN_MODELS)}"
+        )
+    if model_id not in _cache:
+        path = os.path.join(_DATA_DIR, BUILTIN_MODELS[model_id])
+        _cache[model_id] = PoreModel.load_npz(path)
+    return _cache[model_id]
