@@ -1,0 +1,188 @@
+"""f5c-tpu command line: index, call-methylation, eventalign, meth-freq,
+freq-merge, resquiggle.
+
+Mirrors the reference CLI surface (f5c {index,call-methylation,eventalign,
+meth-freq,freq-merge,resquiggle}, src/main.c:84-101) with the same core
+flags; accelerator flags select the JAX device instead of CUDA knobs.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def _add_common_meth_args(p):
+    p.add_argument("-b", "--bam", required=True, help="sorted BAM file")
+    p.add_argument("-g", "--genome", required=True, help="reference genome FASTA")
+    p.add_argument("-r", "--reads", required=True, help="reads FASTA/FASTQ")
+    p.add_argument("-t", "--threads", type=int, default=None,
+                   help="host worker processes")
+    p.add_argument("-K", "--batchsize", type=int, default=512,
+                   help="max reads per batch")
+    p.add_argument("-B", "--max-bases", type=_kmg, default=5_000_000,
+                   help="max bases per batch (K/M/G suffixes ok)")
+    p.add_argument("--min-mapq", type=int, default=20)
+    p.add_argument("--secondary", choices=["yes", "no"], default="no")
+    p.add_argument("--rna", action="store_true", help="direct RNA data")
+    p.add_argument("--pore", choices=["r9", "r10", "rna004"], default="r9")
+    p.add_argument("--kmer-model", help="custom nucleotide model file")
+    p.add_argument("--meth-model", help="custom methylation model file")
+    p.add_argument("--min-recalib-events", type=int, default=200,
+                   help="min events to attempt recalibration")
+    p.add_argument("--device", choices=["auto", "cpu"], default="auto",
+                   help="'cpu' forces JAX onto host CPU")
+    p.add_argument("-o", "--output", default="-", help="output file")
+    p.add_argument("--verbose", type=int, default=0)
+
+
+def _kmg(s: str) -> int:
+    mult = {"k": 10**3, "m": 10**6, "g": 10**9}
+    if s and s[-1].lower() in mult:
+        return int(float(s[:-1]) * mult[s[-1].lower()])
+    return int(s)
+
+
+def _make_pipeline(args, meth_out_version=2):
+    import os
+
+    if args.device == "cpu":
+        os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    from .pipeline.runner import Options, Pipeline
+
+    opt = Options(
+        min_mapq=args.min_mapq,
+        keep_secondary=args.secondary == "yes",
+        batch_reads=args.batchsize,
+        batch_bases=args.max_bases,
+        meth_out_version=meth_out_version,
+        rna=args.rna,
+        pore=args.pore,
+        kmer_model_path=args.kmer_model,
+        meth_model_path=args.meth_model,
+        min_num_events_to_rescale=args.min_recalib_events,
+        device=args.device,
+        verbose=args.verbose,
+    )
+    if args.threads:
+        opt.num_proc = args.threads
+    return Pipeline(args.bam, args.genome, args.reads, opt)
+
+
+def _out_fh(spec):
+    return sys.stdout if spec in ("-", None) else open(spec, "w")
+
+
+def main(argv=None):
+    argv = argv if argv is not None else sys.argv[1:]
+    ap = argparse.ArgumentParser(
+        prog="f5c-tpu",
+        description="TPU-native nanopore signal analysis "
+                    "(index / call-methylation / eventalign / resquiggle)")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("index", help="build read index (readdb)")
+    p.add_argument("reads", help="reads FASTA/FASTQ")
+    p.add_argument("-d", "--directory", action="append", default=[],
+                   help="FAST5 directory (repeatable)")
+    p.add_argument("--slow5", help="SLOW5/BLOW5 signal file")
+    p.add_argument("--iop", type=int, default=1,
+                   help="parallel scan processes (compat; scanning is "
+                        "already parallel)")
+
+    p = sub.add_parser("call-methylation", help="CpG methylation calling")
+    _add_common_meth_args(p)
+    p.add_argument("--meth-out-version", type=int, choices=[1, 2], default=2)
+
+    p = sub.add_parser("eventalign", help="signal-to-reference alignment")
+    _add_common_meth_args(p)
+    p.add_argument("--summary", help="write per-read summary TSV")
+    p.add_argument("--sam", action="store_true")
+    p.add_argument("--paf", action="store_true")
+    p.add_argument("--m6anet", action="store_true")
+    p.add_argument("--scale-events", action="store_true")
+    p.add_argument("--samples", action="store_true")
+    p.add_argument("--signal-index", action="store_true")
+    p.add_argument("--collapse-events", action="store_true")
+    p.add_argument("--print-read-names", action="store_true")
+
+    p = sub.add_parser("meth-freq", help="per-site methylation frequency")
+    p.add_argument("-i", "--input", default="-")
+    p.add_argument("-c", "--call-threshold", type=float, default=2.5)
+    p.add_argument("-s", "--split-groups", action="store_true")
+    p.add_argument("-o", "--output", default="-")
+
+    p = sub.add_parser("freq-merge", help="merge meth-freq outputs")
+    p.add_argument("inputs", nargs="+")
+    p.add_argument("-o", "--output", default="-")
+
+    p = sub.add_parser("resquiggle", help="signal-to-read alignment")
+    p.add_argument("reads", help="reads FASTA/FASTQ")
+    p.add_argument("--fast5-dir", action="append", default=[],
+                   help="FAST5 directory (repeatable)")
+    p.add_argument("--slow5", help="SLOW5/BLOW5 signal file")
+    p.add_argument("--rna", action="store_true")
+    p.add_argument("--pore", choices=["r9", "r10", "rna004"], default="r9")
+    p.add_argument("--kmer-model")
+    p.add_argument("-t", "--threads", type=int, default=None)
+    p.add_argument("-K", "--batchsize", type=int, default=512)
+    p.add_argument("-c", "--tsv", action="store_true",
+                   help="TSV output (default PAF)")
+    p.add_argument("--device", choices=["auto", "cpu"], default="auto")
+    p.add_argument("-o", "--output", default="-")
+
+    args = ap.parse_args(argv)
+    t0 = time.time()
+
+    if args.cmd == "index":
+        from .io.readdb import ReadDB
+
+        db = ReadDB(args.reads)
+        db.build(fast5_dirs=args.directory or None, slow5_path=args.slow5)
+        print(f"[f5c-tpu index] indexed {len(db._fa.entries)} reads "
+              f"({len(db._paths or {})} with signal paths) "
+              f"in {time.time()-t0:.1f}s", file=sys.stderr)
+        return 0
+
+    if args.cmd == "call-methylation":
+        pipe = _make_pipeline(args, meth_out_version=args.meth_out_version)
+        out = _out_fh(args.output)
+        pipe.call_methylation(out=out)
+        pipe.report()
+        return 0
+
+    if args.cmd == "eventalign":
+        from .pipeline.eventalign import run_eventalign
+
+        pipe = _make_pipeline(args)
+        out = _out_fh(args.output)
+        run_eventalign(pipe, args, out=out)
+        pipe.report()
+        return 0
+
+    if args.cmd == "meth-freq":
+        from .pipeline.freq import meth_freq
+
+        fh = sys.stdin if args.input == "-" else open(args.input)
+        meth_freq(fh, call_threshold=args.call_threshold,
+                  split_groups=args.split_groups, out=_out_fh(args.output))
+        return 0
+
+    if args.cmd == "freq-merge":
+        from .pipeline.freq import freq_merge
+
+        freq_merge(args.inputs, out=_out_fh(args.output))
+        return 0
+
+    if args.cmd == "resquiggle":
+        from .pipeline.resquiggle import run_resquiggle
+
+        run_resquiggle(args, out=_out_fh(args.output))
+        return 0
+
+    ap.error(f"unknown command {args.cmd}")
+
+
+if __name__ == "__main__":
+    sys.exit(main())

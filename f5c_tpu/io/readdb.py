@@ -1,0 +1,103 @@
+"""Read database: maps read_id -> (sequence, signal path).
+
+Equivalent of the reference's ReadDB (src/nanopolish_read_db.{h,c}) +
+``f5c index`` (src/index.c): a BGZF-compressed FASTA copy of the reads
+(``<reads>.index``) with a .fai, plus a plaintext two-column
+``<reads>.index.readdb`` mapping read_id -> FAST5 path.  For SLOW5/BLOW5
+inputs only the FASTA copy is needed (signals are fetched by read_id from
+the .blow5 index).
+"""
+
+from __future__ import annotations
+
+import os
+
+from .bgzf import BgzfWriter
+from .fasta import FastaIndex, read_fastx
+
+
+class ReadDB:
+    def __init__(self, reads_path: str):
+        self.reads_path = reads_path
+        self.index_path = reads_path + ".index"
+        self.readdb_path = self.index_path + ".readdb"
+        self._fa: FastaIndex | None = None
+        self._paths: dict[str, str] | None = None
+
+    # -- build (the `index` subcommand) -------------------------------
+    def build(self, fast5_dirs: list[str] | None = None,
+              slow5_path: str | None = None):
+        """Create .index (bgzf fasta), .fai, and .readdb."""
+        with BgzfWriter(self.index_path) as w:
+            for name, seq, _ in read_fastx(self.reads_path):
+                w.write(f">{name}\n{seq}\n".encode())
+        # fai over the *decompressed* content: FastaIndex handles bgzf
+        fa = FastaIndex(self.index_path)
+        with open(self.index_path + ".fai", "w") as f:
+            for e in fa.entries.values():
+                f.write(f"{e.name}\t{e.length}\t{e.offset}\t{e.line_bases}\t"
+                        f"{e.line_bytes}\n")
+        paths: dict[str, str] = {}
+        if fast5_dirs:
+            mapping = scan_fast5_dirs(fast5_dirs)
+            for rid in fa.entries:
+                if rid in mapping:
+                    paths[rid] = mapping[rid]
+        with open(self.readdb_path, "w") as f:
+            for rid, p in paths.items():
+                f.write(f"{rid}\t{p}\n")
+        self._fa = fa
+        self._paths = paths
+
+    # -- load ----------------------------------------------------------
+    def load(self):
+        self._fa = FastaIndex(self.index_path)
+        self._paths = {}
+        if os.path.exists(self.readdb_path):
+            with open(self.readdb_path) as f:
+                for line in f:
+                    cols = line.rstrip("\n").split("\t")
+                    if len(cols) == 2:
+                        self._paths[cols[0]] = cols[1]
+        return self
+
+    def get_read_sequence(self, read_id: str) -> str:
+        if self._fa is None:
+            self.load()
+        if read_id not in self._fa.entries:
+            return ""
+        return self._fa.fetch(read_id)
+
+    def get_signal_path(self, read_id: str) -> str:
+        if self._paths is None:
+            self.load()
+        return self._paths.get(read_id, "")
+
+    def has_read(self, read_id: str) -> bool:
+        if self._fa is None:
+            self.load()
+        return read_id in self._fa.entries
+
+
+def scan_fast5_dirs(dirs: list[str]) -> dict[str, str]:
+    """Recursively scan directories for FAST5 files, mapping read_id->path.
+
+    (Reference: index.c multi-process scan; here a simple walk — the
+    per-file HDF5 opens dominate and parallelise at the pipeline layer.)
+    """
+    from .fast5 import Fast5File
+
+    mapping: dict[str, str] = {}
+    for d in dirs:
+        for root, _dirs, files in os.walk(d):
+            for fn in sorted(files):
+                if not fn.endswith(".fast5"):
+                    continue
+                path = os.path.join(root, fn)
+                try:
+                    with Fast5File(path) as f5:
+                        for rid in f5.read_ids():
+                            mapping[rid] = path
+                except OSError:
+                    continue
+    return mapping

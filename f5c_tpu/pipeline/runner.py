@@ -1,0 +1,418 @@
+"""Batch pipeline: load -> process -> output.
+
+The runtime equivalent of the reference's core (init_core/load_db/
+process_db/output_db + the 3-stage interleaved pipeline in meth_main):
+
+- **load** (host): BAM iteration with filters, read sequences from the
+  readdb index, raw signals from FAST5/BLOW5 via a process pool, event
+  detection + MoM scaling per read (CPU-bound, fanned out over workers).
+- **process** (device): ABEA over a length-binned padded batch, then the
+  batched profile-HMM over all CpG-group windows of the batch.
+- **output** (host): TSV emission in BAM order.
+
+Batches overlap: while the device processes batch N, workers load batch
+N+1 (the reference's pthread pipeline, here a thread + process pool).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+from concurrent.futures import ProcessPoolExecutor
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..constants import (
+    AVG_EVENTS_PER_KMER_MAX,
+    DEFAULT_BATCH_BASES,
+    DEFAULT_BATCH_READS,
+    DEFAULT_MIN_MAPQ,
+    FAILED_ALIGNMENT,
+    FAILED_CALIBRATION,
+    FAILED_QUALITY_CHK,
+    MAX_EVENTS_PER_BASE,
+    MIN_CALIBRATION_VAR,
+)
+from ..io.bam import BamReader, passes_load_filters
+from ..io.fasta import FastaIndex
+from ..io.readdb import ReadDB
+from ..models import builtin_model, load_model_file
+
+
+@dataclass
+class Options:
+    min_mapq: int = DEFAULT_MIN_MAPQ
+    keep_secondary: bool = False
+    batch_reads: int = DEFAULT_BATCH_READS
+    batch_bases: int = DEFAULT_BATCH_BASES
+    num_proc: int = max(1, (os.cpu_count() or 8) // 2)
+    meth_out_version: int = 2
+    rna: bool = False
+    pore: str = "r9"
+    kmer_model_path: str | None = None
+    meth_model_path: str | None = None
+    min_num_events_to_rescale: int = 200
+    device: str = "auto"     # "auto" | "cpu" — jax platform hint
+    verbose: int = 0
+
+
+@dataclass
+class ReadRecord:
+    """One loaded read: BAM info + sequence + events + scaling state."""
+
+    qname: str
+    read_idx: int
+    tid: int
+    pos: int
+    cigar: list
+    is_reverse: bool
+    seq: str
+    event_means: np.ndarray | None = None
+    n_events: int = 0
+    scaling: object = None
+    events_per_base: float = 0.0
+    b2e_start: np.ndarray | None = None
+    b2e_stop: np.ndarray | None = None
+    pairs: np.ndarray | None = None
+    status: int = 0          # FAILED_* flags
+    sample_rate: float = 0.0
+    signal_path: str = ""
+    raw_pa: np.ndarray | None = None   # kept only when emitters need samples
+    event_starts: np.ndarray | None = None
+    event_lengths: np.ndarray | None = None
+    event_stdvs: np.ndarray | None = None
+
+
+# --- worker-side load (runs in subprocesses) -------------------------------
+
+_W = {}
+
+
+def _worker_init(model_kind: str, model_path: str | None, rna: bool):
+    from ..models import builtin_model, load_model_file
+
+    if model_path:
+        _W["model"] = load_model_file(model_path)
+    else:
+        _W["model"] = builtin_model(model_kind)
+    _W["rna"] = rna
+
+
+def _worker_load(args):
+    """signal fetch + pA + events + MoM for one read (events.c path)."""
+    from ..io.fast5 import read_fast5_signal
+    from ..ops.abea_ref import estimate_scalings_using_mom
+    from ..ops.events_ref import detect_events
+
+    qname, path, seq, keep_raw = args
+    model = _W["model"]
+    rna = _W["rna"]
+    try:
+        sig = read_fast5_signal(path, read_id=qname)
+    except (OSError, KeyError) as e:
+        return qname, None
+    if sig.nsample == 0:
+        return qname, None
+    pa = sig.to_pa()
+    et = detect_events(pa, rna=rna)
+    sc = estimate_scalings_using_mom(seq, model, et.mean)
+    means = et.mean
+    starts, lengths, stdvs = et.start, et.length, et.stdv
+    if rna:
+        # events are reversed to 3'->5' after MoM (f5c.c:711-721)
+        means = means[::-1].copy()
+        starts = starts[::-1].copy()
+        lengths = lengths[::-1].copy()
+        stdvs = stdvs[::-1].copy()
+    return qname, dict(
+        event_means=means, scaling=sc, sample_rate=sig.sample_rate,
+        event_starts=starts, event_lengths=lengths, event_stdvs=stdvs,
+        raw_pa=pa if keep_raw else None,
+    )
+
+
+class Pipeline:
+    """call-methylation / eventalign runtime."""
+
+    def __init__(self, bam_path: str, genome_path: str, reads_path: str,
+                 opt: Options | None = None):
+        self.opt = opt or Options()
+        self.bam = BamReader(bam_path)
+        self.genome = FastaIndex(genome_path)
+        self.readdb = ReadDB(reads_path).load()
+        if self.opt.kmer_model_path:
+            self.model = load_model_file(self.opt.kmer_model_path)
+        elif self.opt.rna:
+            self.model = builtin_model(
+                "rna004_nucleotide" if self.opt.pore == "rna004"
+                else "rna_r9_nucleotide")
+        else:
+            self.model = builtin_model("dna_r9_nucleotide")
+        if self.opt.meth_model_path:
+            self.cpg_model = load_model_file(self.opt.meth_model_path,
+                                             alphabet="meth")
+        else:
+            self.cpg_model = builtin_model("dna_r9_cpg")
+        self._model_kind = ("rna004_nucleotide" if self.opt.rna
+                            and self.opt.pore == "rna004"
+                            else "rna_r9_nucleotide" if self.opt.rna
+                            else "dna_r9_nucleotide")
+        self.counters = dict(
+            total_reads=0, unmapped=0, low_mapq=0, secondary=0,
+            bad_signal=0, failed_calibration=0, failed_alignment=0,
+            qc_fail=0, processed=0)
+        self.stage_time = dict(load=0.0, events=0.0, align=0.0,
+                               scaling=0.0, hmm=0.0, output=0.0)
+
+    # ---- batch iteration ------------------------------------------------
+    def batches(self, keep_raw: bool = False):
+        """Yield lists of ReadRecord (loaded, events+MoM done)."""
+        opt = self.opt
+        pool = ProcessPoolExecutor(
+            max_workers=opt.num_proc,
+            initializer=_worker_init,
+            initargs=(self._model_kind, opt.kmer_model_path, opt.rna))
+        try:
+            batch: list[ReadRecord] = []
+            bases = 0
+            read_idx = 0
+            for rec in self.bam:
+                idx = read_idx
+                read_idx += 1
+                if rec.is_unmapped:
+                    self.counters["unmapped"] += 1
+                    continue
+                if rec.mapq < opt.min_mapq:
+                    self.counters["low_mapq"] += 1
+                    continue
+                if rec.is_secondary and not opt.keep_secondary:
+                    self.counters["secondary"] += 1
+                    continue
+                seq = self.readdb.get_read_sequence(rec.qname)
+                path = self.readdb.get_signal_path(rec.qname)
+                if not seq or not path:
+                    self.counters["bad_signal"] += 1
+                    continue
+                if opt.rna:
+                    seq = seq.replace("U", "T")
+                self.counters["total_reads"] += 1
+                batch.append(ReadRecord(
+                    qname=rec.qname, read_idx=idx, tid=rec.tid, pos=rec.pos,
+                    cigar=rec.cigar, is_reverse=rec.is_reverse, seq=seq,
+                    signal_path=path))
+                bases += len(seq)
+                if len(batch) >= opt.batch_reads or bases >= opt.batch_bases:
+                    yield self._load_batch(pool, batch, keep_raw)
+                    batch, bases = [], 0
+            if batch:
+                yield self._load_batch(pool, batch, keep_raw)
+        finally:
+            pool.shutdown(wait=False, cancel_futures=True)
+
+    def _load_batch(self, pool, batch, keep_raw):
+        t0 = time.time()
+        args = [(r.qname, r.signal_path, r.seq, keep_raw) for r in batch]
+        for r, (qname, data) in zip(batch, pool.map(_worker_load, args)):
+            assert qname == r.qname
+            if data is None:
+                self.counters["bad_signal"] += 1
+                r.status |= FAILED_ALIGNMENT
+                continue
+            r.event_means = data["event_means"]
+            r.n_events = r.event_means.shape[0]
+            r.scaling = data["scaling"]
+            r.sample_rate = data["sample_rate"]
+            r.event_starts = data["event_starts"]
+            r.event_lengths = data["event_lengths"]
+            r.event_stdvs = data["event_stdvs"]
+            r.raw_pa = data["raw_pa"]
+        self.stage_time["events"] += time.time() - t0
+        return batch
+
+    # ---- device stages ---------------------------------------------------
+    def align_batch(self, batch: list[ReadRecord]):
+        """ABEA on device for all loadable reads; fills pairs + scaling."""
+        from ..ops import abea
+        from ..ops.scaling import postalign_np, recalibrate_np
+
+        t0 = time.time()
+        todo = []
+        for r in batch:
+            if r.status or r.event_means is None:
+                continue
+            if r.n_events / len(r.seq) >= AVG_EVENTS_PER_KMER_MAX:
+                r.status |= FAILED_ALIGNMENT
+                continue
+            todo.append(r)
+        if not todo:
+            return
+        ranks = [self.model.kmer_ranks(r.seq) for r in todo]
+        ev = [r.event_means for r in todo]
+        E = _bucket(max(e.shape[0] for e in ev))
+        K = _bucket(max(k.shape[0] for k in ranks))
+        dbatch = abea.make_batch(ev, ranks, self.model, pad_events=E,
+                                 pad_kmers=K,
+                                 scalings=[r.scaling for r in todo])
+        n_bands = E + K + 2
+        pk, pe, n, sum_em, max_gap, failed = abea.align_batch(
+            dbatch, n_bands=n_bands, max_pairs=E + K)
+        pk = np.asarray(pk)
+        pe = np.asarray(pe)
+        n = np.asarray(n)
+        failed = np.asarray(failed)
+        self.stage_time["align"] += time.time() - t0
+
+        t0 = time.time()
+        for i, r in enumerate(todo):
+            if failed[i] or n[i] == 0:
+                r.status |= FAILED_ALIGNMENT
+                continue
+            ni = int(n[i])
+            pairs = np.stack([pk[i, :ni][::-1], pe[i, :ni][::-1]], axis=1)
+            r.pairs = pairs
+            n_kmers = len(r.seq) - self.model.k + 1
+            post = postalign_np(pairs, ranks[i], n_kmers)
+            ok, rc = recalibrate_np(
+                self.model.level_mean, self.model.level_stdv, ranks[i],
+                r.event_means, post, self.opt.min_num_events_to_rescale)
+            if not ok or rc.var > MIN_CALIBRATION_VAR:
+                r.status |= FAILED_CALIBRATION
+                continue
+            if post.events_per_base > MAX_EVENTS_PER_BASE:
+                r.status |= FAILED_QUALITY_CHK
+                continue
+            r.scaling = rc
+            r.events_per_base = post.events_per_base
+            r.b2e_start = post.base_to_event_start
+            r.b2e_stop = post.base_to_event_stop
+        self.stage_time["scaling"] += time.time() - t0
+
+    def meth_batch(self, batch: list[ReadRecord]):
+        """CpG group collection + batched device HMM; returns
+        {read -> {start_pos -> ScoredSite}} keeping batch order."""
+        from ..ops.hmm import hmm_forward_batch, make_hmm_batch
+        from .methylation import collect_meth_groups
+
+        t0 = time.time()
+        work = []     # (read, group)
+        for r in batch:
+            if r.status or r.b2e_start is None:
+                continue
+            ref_len = self.genome.entries[
+                self.bam.references[r.tid]].length
+            ref_seq = self._fetch_ref_segment(r)
+            for g in collect_meth_groups(
+                    ref_seq, r.pos, r.cigar, r.is_reverse, len(r.seq),
+                    r.b2e_start, self.cpg_model.k):
+                work.append((r, g))
+        if not work:
+            self.stage_time["hmm"] += time.time() - t0
+            return {}
+
+        items = []
+        ev_arrays = []
+        scalings = []
+        epbs = []
+        for r, g in work:
+            for it in (g.unmeth, g.meth):
+                items.append(it)
+                ev_arrays.append(r.event_means)
+                scalings.append(r.scaling)
+                epbs.append(r.events_per_base)
+        pad_e = _bucket(max(abs(i.event_stop_idx - i.event_start_idx) + 1
+                            for i in items))
+        pad_k = _bucket(max(len(i.seq) - self.cpg_model.k + 1
+                            for i in items), minimum=64)
+        hb = make_hmm_batch(items, ev_arrays, self.cpg_model, scalings,
+                            epbs, pad_e, pad_k)
+        scores = np.asarray(hmm_forward_batch(hb, pad_events=pad_e))
+        self.stage_time["hmm"] += time.time() - t0
+
+        out: dict[int, dict] = {}
+        for j, (r, g) in enumerate(work):
+            site_map = out.setdefault(id(r), {})
+            site = site_map.setdefault(g.site.start_position, g.site)
+            site.ll_unmethylated = float(scores[2 * j])
+            site.ll_methylated = float(scores[2 * j + 1])
+        return out
+
+    def _fetch_ref_segment(self, r: ReadRecord) -> str:
+        from ..io.bam import BamRecord
+
+        ref_name = self.bam.references[r.tid]
+        end = r.pos
+        for op, ln in r.cigar:
+            if op in (0, 2, 3, 7, 8):
+                end += ln
+        return self.genome.fetch(ref_name, r.pos, end)
+
+    # ---- tool drivers ----------------------------------------------------
+    def call_methylation(self, out=sys.stdout):
+        opt = self.opt
+        if opt.meth_out_version == 1:
+            out.write("chromosome\tstart\tend\tread_name\t"
+                      "log_lik_ratio\tlog_lik_methylated\t"
+                      "log_lik_unmethylated\tnum_calling_strands\t"
+                      "num_cpgs\tsequence\n")
+        else:
+            out.write("chromosome\tstrand\tstart\tend\tread_name\t"
+                      "log_lik_ratio\tlog_lik_methylated\t"
+                      "log_lik_unmethylated\tnum_calling_strands\t"
+                      "num_motifs\tsequence\n")
+        for batch in self.batches():
+            self.align_batch(batch)
+            sites_by_read = self.meth_batch(batch)
+            t0 = time.time()
+            for r in batch:
+                if r.status:
+                    self._count_failure(r)
+                    continue
+                self.counters["processed"] += 1
+                site_map = sites_by_read.get(id(r), {})
+                contig = self.bam.references[r.tid]
+                for start in sorted(site_map):
+                    ss = site_map[start]
+                    if opt.meth_out_version == 1:
+                        out.write(f"{contig}\t{ss.start_position}\t"
+                                  f"{ss.end_position}\t")
+                    else:
+                        strand = "-" if r.is_reverse else "+"
+                        out.write(f"{contig}\t{strand}\t{ss.start_position}"
+                                  f"\t{ss.end_position}\t")
+                    out.write(f"{r.qname}\t{ss.llr:.2f}\t"
+                              f"{ss.ll_methylated:.2f}\t"
+                              f"{ss.ll_unmethylated:.2f}\t"
+                              f"{ss.strands_scored}\t{ss.n_cpg}\t"
+                              f"{ss.sequence}\n")
+            self.stage_time["output"] += time.time() - t0
+
+    def _count_failure(self, r: ReadRecord):
+        if r.status & FAILED_CALIBRATION:
+            self.counters["failed_calibration"] += 1
+        elif r.status & FAILED_ALIGNMENT:
+            self.counters["failed_alignment"] += 1
+        elif r.status & FAILED_QUALITY_CHK:
+            self.counters["qc_fail"] += 1
+
+    def report(self, f=sys.stderr):
+        c = self.counters
+        f.write(f"[f5c-tpu] candidate reads: {c['total_reads']}; "
+                f"processed: {c['processed']}; "
+                f"skipped mapq<{self.opt.min_mapq}: {c['low_mapq']}; "
+                f"secondary: {c['secondary']}; unmapped: {c['unmapped']}; "
+                f"bad signal: {c['bad_signal']}\n")
+        f.write(f"[f5c-tpu] failed: calibration {c['failed_calibration']}, "
+                f"alignment {c['failed_alignment']}, qc {c['qc_fail']}\n")
+        st = self.stage_time
+        f.write("[f5c-tpu] stage seconds: "
+                + " ".join(f"{k}={v:.2f}" for k, v in st.items()) + "\n")
+
+
+def _bucket(n: int, minimum: int = 256) -> int:
+    """Round up to the next power of two (>= minimum) to bound recompiles."""
+    b = minimum
+    while b < n:
+        b *= 2
+    return b
