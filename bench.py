@@ -1,0 +1,110 @@
+#!/usr/bin/env python3
+"""Benchmark: call-methylation throughput on test/ecoli_2kb_region.
+
+Runs the full pipeline (signal load -> events -> ABEA -> recalibration ->
+profile HMM -> TSV) over all 112 reads of the vendored dataset on the
+default JAX device (the TPU chip when present) and prints ONE JSON line:
+
+    {"metric": ..., "value": N, "unit": "reads/s", "vs_baseline": N/BASE}
+
+The reference genome of the dataset (draft.fa) is stripped from the test
+tree, so reads are scored against themselves as reference contigs (perfect
+alignments); ABEA + HMM work is the same order as the genome-mapped run.
+
+vs_baseline divides by F5C_BASELINE_READS_PER_S (default 500 reads/s — an
+estimate of f5c-CUDA v1.6 on a discrete GPU for this small-batch workload;
+the reference GPU cannot run in this environment, see BENCH.md).
+"""
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+ECOLI = "/root/reference/test/ecoli_2kb_region"
+BASELINE = float(os.environ.get("F5C_BASELINE_READS_PER_S", "500"))
+
+
+def setup_dataset(tmp: str):
+    from f5c_tpu.io.bam import write_bam
+    from f5c_tpu.io.fasta import FastaIndex
+    from f5c_tpu.io.readdb import ReadDB
+
+    fa = FastaIndex(os.path.join(ECOLI, "reads.fasta"))
+    names = fa.names()
+    genome = os.path.join(tmp, "genome.fa")
+    reads = os.path.join(tmp, "reads.fasta")
+    with open(genome, "w") as g, open(reads, "w") as r:
+        for n in names:
+            seq = fa.fetch(n)
+            g.write(f">{n}\n{seq}\n")
+            r.write(f">{n}\n{seq}\n")
+
+    class Rec:
+        pass
+
+    recs = []
+    for i, n in enumerate(names):
+        rec = Rec()
+        rec.qname = n
+        rec.flag = 0
+        rec.tid = i
+        rec.pos = 0
+        rec.mapq = 60
+        rec.cigar = [(0, fa.entries[n].length)]
+        rec.seq = fa.fetch(n)
+        recs.append(rec)
+    bam = os.path.join(tmp, "self.bam")
+    write_bam(bam, [(n, fa.entries[n].length) for n in names], recs)
+    db = ReadDB(reads)
+    db.build(fast5_dirs=[os.path.join(ECOLI, "fast5_files")])
+    return bam, genome, reads, len(names)
+
+
+def run_once(bam, genome, reads, out_path):
+    from f5c_tpu.pipeline.runner import Options, Pipeline
+
+    opt = Options(min_mapq=0, meth_out_version=1)
+    pipe = Pipeline(bam, genome, reads, opt)
+    t0 = time.time()
+    with open(out_path, "w") as out:
+        pipe.call_methylation(out=out)
+    wall = time.time() - t0
+    return wall, pipe
+
+
+def main():
+    tmp = tempfile.mkdtemp(prefix="f5c_tpu_bench_")
+    try:
+        bam, genome, reads, n_reads = setup_dataset(tmp)
+        # warm-up run (JIT compile), then the measured run
+        w0, _ = run_once(bam, genome, reads, os.path.join(tmp, "w.tsv"))
+        wall, pipe = run_once(bam, genome, reads, os.path.join(tmp, "m.tsv"))
+        n_proc = pipe.counters["processed"]
+        bases = sum(
+            e.length for e in
+            __import__("f5c_tpu.io.fasta", fromlist=["FastaIndex"])
+            .FastaIndex(reads).entries.values())
+        reads_per_s = n_proc / wall
+        print(
+            f"[bench] warmup {w0:.1f}s measured {wall:.2f}s "
+            f"{n_proc} reads {bases} bases "
+            f"({bases/wall/1e6:.2f} Mbases/s); stages: "
+            + " ".join(f"{k}={v:.2f}" for k, v in pipe.stage_time.items()),
+            file=sys.stderr)
+        print(json.dumps({
+            "metric": "ecoli_2kb_region call-methylation throughput",
+            "value": round(reads_per_s, 2),
+            "unit": "reads/s",
+            "vs_baseline": round(reads_per_s / BASELINE, 3),
+        }))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -18,3 +18,12 @@ Subpackages
 """
 
 __version__ = "0.1.0"
+
+# Persistent XLA compilation cache: the band-fill/backtrace programs are
+# expensive one-time compiles; cache them across processes.
+import os as _os
+
+_os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                       _os.path.expanduser("~/.cache/f5c_tpu_jax"))
+_os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
+_os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")

@@ -170,8 +170,12 @@ class Pipeline:
     def batches(self, keep_raw: bool = False):
         """Yield lists of ReadRecord (loaded, events+MoM done)."""
         opt = self.opt
+        import multiprocessing as mp
+
+        # spawn: forking a process that holds a live TPU client is unsafe
         pool = ProcessPoolExecutor(
             max_workers=opt.num_proc,
+            mp_context=mp.get_context("spawn"),
             initializer=_worker_init,
             initargs=(self._model_kind, opt.kmer_model_path, opt.rna))
         try:
@@ -232,6 +236,13 @@ class Pipeline:
         return batch
 
     # ---- device stages ---------------------------------------------------
+    def _use_pallas(self) -> bool:
+        if self.opt.device == "cpu":
+            return False
+        import jax
+
+        return jax.default_backend() not in ("cpu",)
+
     def align_batch(self, batch: list[ReadRecord]):
         """ABEA on device for all loadable reads; fills pairs + scaling."""
         from ..ops import abea
@@ -256,8 +267,14 @@ class Pipeline:
                                  pad_kmers=K,
                                  scalings=[r.scaling for r in todo])
         n_bands = E + K + 2
-        pk, pe, n, sum_em, max_gap, failed = abea.align_batch(
-            dbatch, n_bands=n_bands, max_pairs=E + K)
+        if self._use_pallas():
+            from ..ops.abea_pallas import align_batch_pallas
+
+            pk, pe, n, sum_em, max_gap, failed = align_batch_pallas(
+                dbatch, n_bands=n_bands, max_pairs=E + K)
+        else:
+            pk, pe, n, sum_em, max_gap, failed = abea.align_batch(
+                dbatch, n_bands=n_bands, max_pairs=E + K)
         pk = np.asarray(pk)
         pe = np.asarray(pe)
         n = np.asarray(n)
@@ -311,6 +328,8 @@ class Pipeline:
             self.stage_time["hmm"] += time.time() - t0
             return {}
 
+        # flatten to items and bucket by event-window size so one huge
+        # window doesn't inflate the padding for thousands of small ones
         items = []
         ev_arrays = []
         scalings = []
@@ -321,13 +340,23 @@ class Pipeline:
                 ev_arrays.append(r.event_means)
                 scalings.append(r.scaling)
                 epbs.append(r.events_per_base)
-        pad_e = _bucket(max(abs(i.event_stop_idx - i.event_start_idx) + 1
-                            for i in items))
-        pad_k = _bucket(max(len(i.seq) - self.cpg_model.k + 1
-                            for i in items), minimum=64)
-        hb = make_hmm_batch(items, ev_arrays, self.cpg_model, scalings,
-                            epbs, pad_e, pad_k)
-        scores = np.asarray(hmm_forward_batch(hb, pad_events=pad_e))
+        n_items = len(items)
+        sizes = np.array([abs(i.event_stop_idx - i.event_start_idx) + 1
+                          for i in items])
+        scores = np.zeros(n_items, dtype=np.float32)
+        buckets: dict[int, list[int]] = {}
+        for j in range(n_items):
+            buckets.setdefault(_bucket(int(sizes[j]), minimum=128),
+                               []).append(j)
+        for pad_e, idxs in sorted(buckets.items()):
+            sub_items = [items[j] for j in idxs]
+            pad_k = _bucket(max(len(i.seq) - self.cpg_model.k + 1
+                                for i in sub_items), minimum=64)
+            hb = make_hmm_batch(sub_items, [ev_arrays[j] for j in idxs],
+                                self.cpg_model, [scalings[j] for j in idxs],
+                                [epbs[j] for j in idxs], pad_e, pad_k)
+            s = np.asarray(hmm_forward_batch(hb, pad_events=pad_e))
+            scores[idxs] = s
         self.stage_time["hmm"] += time.time() - t0
 
         out: dict[int, dict] = {}
