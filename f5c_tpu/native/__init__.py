@@ -1,0 +1,315 @@
+"""Native host runtime bindings (ctypes).
+
+Compiles ``src/f5chost.cpp`` into ``libf5chost.so`` on first use (cached by
+source mtime) and exposes numpy-friendly wrappers.  Everything here has a
+pure-Python/NumPy fallback in ``ops/*_ref.py`` / ``pipeline/methylation.py``
+— the native path exists because the host side of the pipeline (event
+detection, batch assembly, CpG group collection) is CPU-bound and the
+reference implements the same components natively (src/events.c,
+src/align.c, src/meth.c).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import sys
+import threading
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_DIR, "src", "f5chost.cpp")
+_LIB_PATH = os.path.join(_DIR, "libf5chost.so")
+
+_lock = threading.Lock()
+_lib = None
+_load_failed = False
+
+_i8p = ctypes.POINTER(ctypes.c_char)
+_i16p = np.ctypeslib.ndpointer(np.int16, flags="C_CONTIGUOUS")
+_i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+_i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+_f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+_u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+_i64 = ctypes.c_int64
+_i32 = ctypes.c_int32
+_int = ctypes.c_int
+_f32 = ctypes.c_float
+
+
+def _build() -> str:
+    """Compile the shared library if missing or stale."""
+    if (os.path.exists(_LIB_PATH)
+            and os.path.getmtime(_LIB_PATH) >= os.path.getmtime(_SRC)):
+        return _LIB_PATH
+    tmp = _LIB_PATH + f".tmp{os.getpid()}"
+    # -ffp-contract=off: no FMA contraction — results must be bit-identical
+    # to the NumPy oracles (strict IEEE f32/f64 op-for-op)
+    cmd = ["g++", "-O2", "-std=c++17", "-shared", "-fPIC",
+           "-march=native", "-ffp-contract=off", _SRC, "-o", tmp]
+    subprocess.run(cmd, check=True, capture_output=True)
+    os.replace(tmp, _LIB_PATH)
+    return _LIB_PATH
+
+
+def _declare(lib):
+    lib.f5c_detect_events.restype = _i64
+    lib.f5c_detect_events.argtypes = [
+        _f32p, _i64, _int, _i64p, _f32p, _f32p, _f32p]
+    lib.f5c_adc_to_pa.restype = None
+    lib.f5c_adc_to_pa.argtypes = [_i16p, _i64, _f32, _f32, _f32, _f32p]
+    lib.f5c_kmer_ranks.restype = _i64
+    lib.f5c_kmer_ranks.argtypes = [_i8p, _i64, _int, _int, _i32p]
+    lib.f5c_mom_scalings.restype = None
+    lib.f5c_mom_scalings.argtypes = [
+        _f32p, _i64, _i32p, _i64, _f32p,
+        ctypes.POINTER(_f32), ctypes.POINTER(_f32)]
+    lib.f5c_abea_assemble.restype = None
+    lib.f5c_abea_assemble.argtypes = [
+        _i64, _i64, _i64, _i64,
+        _f32p, _i64p, _i64p, _i32p, _i64p, _i64p,
+        _f32p, _f32p, _f32p, _f32p, _f32p,
+        _f32p, _f32p, _f32p, _f32p,
+        _i32p, _i32p, _f32p, _f32p, _f32p, _f32p]
+    lib.f5c_postalign_recalibrate.restype = _int
+    lib.f5c_postalign_recalibrate.argtypes = [
+        _i32p, _i32p, _i64, _i32p, _i64, _f32p, _f32p, _f32p, _i64,
+        _i32p, _i32p, ctypes.POINTER(ctypes.c_double),
+        ctypes.POINTER(_f32), ctypes.POINTER(_f32), ctypes.POINTER(_f32)]
+    lib.f5c_disambiguate.restype = None
+    lib.f5c_disambiguate.argtypes = [_i8p, _i64, _i8p]
+    lib.f5c_collect_meth_groups.restype = _i64
+    lib.f5c_collect_meth_groups.argtypes = [
+        _i8p, _i64, _i64, _i32p, _i32p, _i64, _int, _i64,
+        _i32p, _i64, _int,
+        _i64p, _i64p, _i32p, _i64p, _i64p, _i64p, _i64p]
+    lib.f5c_hmm_window_ranks.restype = None
+    lib.f5c_hmm_window_ranks.argtypes = [
+        _i64, _i64, _int,
+        _i8p, _i64p,
+        _i32p, _i64p, _i64p, _u8p, _u8p,
+        _int, ctypes.c_void_p, _i32p]
+    lib.f5c_hmm_assemble.restype = None
+    lib.f5c_hmm_assemble.argtypes = [
+        _i64, _i64, _i64, _int,
+        _i8p, _i64p, _f32p, _i64p,
+        _i32p, _i64p, _i64p, _u8p, _i64p, _i64p, _u8p,
+        _f32p, _f32p, _f32p, _f32p,
+        _f32p, _f32p, _f32p,
+        _f32p, _f32p, _f32p, _f32p,
+        _i32p, _i32p, _f32p, _f32p]
+
+
+def get_lib():
+    """The loaded library, or None if the toolchain is unavailable."""
+    global _lib, _load_failed
+    if _lib is not None or _load_failed:
+        return _lib
+    with _lock:
+        if _lib is not None or _load_failed:
+            return _lib
+        try:
+            path = _build()
+            lib = ctypes.CDLL(path)
+            _declare(lib)
+            _lib = lib
+        except (OSError, subprocess.CalledProcessError) as e:
+            print(f"[f5c-tpu] native build failed ({e}); "
+                  "falling back to NumPy host path", file=sys.stderr)
+            _load_failed = True
+    return _lib
+
+
+def available() -> bool:
+    return get_lib() is not None
+
+
+# --- numpy-friendly wrappers ------------------------------------------------
+
+def detect_events(signal_pa: np.ndarray, rna: bool = False):
+    """Native event detection; same EventTable as ops.events_ref."""
+    from ..ops.events_ref import EventTable
+
+    lib = get_lib()
+    sig = np.ascontiguousarray(signal_pa, dtype=np.float32)
+    n = sig.shape[0]
+    starts = np.empty(n + 1, dtype=np.int64)
+    lengths = np.empty(n + 1, dtype=np.float32)
+    means = np.empty(n + 1, dtype=np.float32)
+    stdvs = np.empty(n + 1, dtype=np.float32)
+    ne = lib.f5c_detect_events(sig, n, int(rna), starts, lengths, means,
+                               stdvs)
+    return EventTable(start=starts[:ne].copy(), length=lengths[:ne].copy(),
+                      mean=means[:ne].copy(), stdv=stdvs[:ne].copy())
+
+
+def adc_to_pa(raw: np.ndarray, digitisation: float, offset: float,
+              range_: float) -> np.ndarray:
+    lib = get_lib()
+    raw = np.ascontiguousarray(raw, dtype=np.int16)
+    out = np.empty(raw.shape[0], dtype=np.float32)
+    lib.f5c_adc_to_pa(raw, raw.shape[0], digitisation, offset, range_, out)
+    return out
+
+
+def kmer_ranks(seq, k: int, meth: bool = False) -> np.ndarray:
+    lib = get_lib()
+    if isinstance(seq, str):
+        seq = seq.encode("ascii")
+    n = len(seq)
+    out = np.empty(max(n - k + 1, 0), dtype=np.int32)
+    lib.f5c_kmer_ranks(seq, n, k, int(meth), out)
+    return out
+
+
+def mom_scalings(event_means: np.ndarray, ranks: np.ndarray,
+                 level_mean: np.ndarray):
+    from ..ops.abea_ref import Scalings
+
+    lib = get_lib()
+    shift = _f32()
+    scale = _f32()
+    lib.f5c_mom_scalings(
+        np.ascontiguousarray(event_means, dtype=np.float32),
+        event_means.shape[0],
+        np.ascontiguousarray(ranks, dtype=np.int32), ranks.shape[0],
+        level_mean, ctypes.byref(shift), ctypes.byref(scale))
+    return Scalings(shift=float(shift.value), scale=float(scale.value),
+                    var=1.0)
+
+
+def postalign_recalibrate(pairs: np.ndarray, ranks: np.ndarray,
+                          event_means: np.ndarray, level_mean, level_stdv,
+                          min_num_events_to_rescale: int):
+    """-> (calibrated, b2e_start, b2e_stop, events_per_base, Scalings)."""
+    from ..ops.abea_ref import Scalings
+
+    lib = get_lib()
+    n_kmers = ranks.shape[0]
+    pk = np.ascontiguousarray(pairs[:, 0], dtype=np.int32)
+    pe = np.ascontiguousarray(pairs[:, 1], dtype=np.int32)
+    rk = np.ascontiguousarray(ranks, dtype=np.int32)
+    b2e_start = np.empty(n_kmers, dtype=np.int32)
+    b2e_stop = np.empty(n_kmers, dtype=np.int32)
+    epb = ctypes.c_double()
+    shift = _f32()
+    scale = _f32()
+    var = _f32()
+    ok = lib.f5c_postalign_recalibrate(
+        pk, pe, pk.shape[0], rk, n_kmers,
+        np.ascontiguousarray(event_means, dtype=np.float32),
+        level_mean, level_stdv, min_num_events_to_rescale,
+        b2e_start, b2e_stop, ctypes.byref(epb), ctypes.byref(shift),
+        ctypes.byref(scale), ctypes.byref(var))
+    sc = Scalings(shift=float(shift.value), scale=float(scale.value),
+                  var=float(var.value)) if ok else Scalings()
+    return bool(ok), b2e_start, b2e_stop, float(epb.value), sc
+
+
+def disambiguate(seq: bytes) -> bytes:
+    lib = get_lib()
+    out = ctypes.create_string_buffer(len(seq))
+    lib.f5c_disambiguate(seq, len(seq), out)
+    return out.raw
+
+
+def collect_meth_groups(ref_disamb: bytes, ref_start_pos: int,
+                        cigar_ops: np.ndarray, cigar_lens: np.ndarray,
+                        is_reverse: bool, read_length: int,
+                        b2e_start: np.ndarray, k: int):
+    """-> dict of group arrays (start_pos, end_pos, n_cpg, sub_start,
+    sub_end, e1, e2), each length n_groups."""
+    lib = get_lib()
+    cap = max(len(ref_disamb), 1)
+    g_start = np.empty(cap, dtype=np.int64)
+    g_end = np.empty(cap, dtype=np.int64)
+    g_ncpg = np.empty(cap, dtype=np.int32)
+    g_ss = np.empty(cap, dtype=np.int64)
+    g_se = np.empty(cap, dtype=np.int64)
+    g_e1 = np.empty(cap, dtype=np.int64)
+    g_e2 = np.empty(cap, dtype=np.int64)
+    b2e = np.ascontiguousarray(b2e_start, dtype=np.int32)
+    n = lib.f5c_collect_meth_groups(
+        ref_disamb, len(ref_disamb), ref_start_pos,
+        np.ascontiguousarray(cigar_ops, dtype=np.int32),
+        np.ascontiguousarray(cigar_lens, dtype=np.int32),
+        cigar_ops.shape[0], int(is_reverse), read_length,
+        b2e, b2e.shape[0], k,
+        g_start, g_end, g_ncpg, g_ss, g_se, g_e1, g_e2)
+    return dict(start_pos=g_start[:n].copy(), end_pos=g_end[:n].copy(),
+                n_cpg=g_ncpg[:n].copy(), sub_start=g_ss[:n].copy(),
+                sub_end=g_se[:n].copy(), e1=g_e1[:n].copy(),
+                e2=g_e2[:n].copy())
+
+
+def hmm_assemble(n_items, pad_k, pad_e, k, ref_concat, ref_off, ev_concat,
+                 ev_off, it_read, it_sub_start, it_sub_end, it_meth, it_e1,
+                 it_e2, read_rc, read_scale, read_shift, read_var, read_epb,
+                 model):
+    """Fill padded HMM bucket arrays natively; returns HmmBatch fields as
+    host numpy arrays."""
+    lib = get_lib()
+    gp_mean = np.zeros((n_items, pad_k), dtype=np.float32)
+    gp_inv = np.ones((n_items, pad_k), dtype=np.float32)
+    gp_log = np.zeros((n_items, pad_k), dtype=np.float32)
+    ev_out = np.zeros((n_items, pad_e), dtype=np.float32)
+    n_km = np.zeros(n_items, dtype=np.int32)
+    n_ev = np.zeros(n_items, dtype=np.int32)
+    lp_stay = np.zeros(n_items, dtype=np.float32)
+    lp_step = np.zeros(n_items, dtype=np.float32)
+    lib.f5c_hmm_assemble(
+        n_items, pad_k, pad_e, k,
+        ref_concat, ref_off, ev_concat, ev_off,
+        it_read, it_sub_start, it_sub_end, it_meth, it_e1, it_e2, read_rc,
+        read_scale, read_shift, read_var, read_epb,
+        model.level_mean, model.level_stdv, model.level_log_stdv,
+        gp_mean, gp_inv, gp_log, ev_out, n_km, n_ev, lp_stay, lp_step)
+    return gp_mean, gp_inv, gp_log, ev_out, n_km, n_ev, lp_stay, lp_step
+
+
+def hmm_window_ranks(n_items, n_alloc, pad_k, k, ref_concat, ref_off,
+                     it_read, it_sub_start, it_sub_end, it_meth, read_rc,
+                     num_kmers):
+    """Padded per-item window kmer ranks [n_alloc, pad_k] (+ n_km counts).
+
+    int16 when the model table fits (5^6 CpG = 15625), int32 otherwise —
+    halves the host->device transfer for the common models.
+    """
+    lib = get_lib()
+    use_i16 = num_kmers <= 32767
+    dtype = np.int16 if use_i16 else np.int32
+    ranks = np.zeros((n_alloc, pad_k), dtype=dtype)
+    n_km = np.zeros(n_alloc, dtype=np.int32)
+    lib.f5c_hmm_window_ranks(
+        n_items, pad_k, k, ref_concat, ref_off,
+        np.ascontiguousarray(it_read, dtype=np.int32),
+        np.ascontiguousarray(it_sub_start, dtype=np.int64),
+        np.ascontiguousarray(it_sub_end, dtype=np.int64),
+        np.ascontiguousarray(it_meth, dtype=np.uint8),
+        np.ascontiguousarray(read_rc, dtype=np.uint8),
+        int(use_i16), ranks.ctypes.data_as(ctypes.c_void_p), n_km)
+    return ranks, n_km
+
+
+def abea_assemble(B, E, PAD, ev_concat, ev_off, ev_len, rank_concat, rk_off,
+                  rk_len, model, scale_in, shift_in, K):
+    """Fill padded ABEA batch arrays natively (ops.abea.make_batch layout)."""
+    lib = get_lib()
+    ev = np.zeros((B, E + 2 * PAD), dtype=np.float32)
+    km = np.zeros((B, K + 2 * PAD), dtype=np.float32)
+    ks = np.ones((B, K + 2 * PAD), dtype=np.float32)
+    kl = np.zeros((B, K + 2 * PAD), dtype=np.float32)
+    n_ev = np.zeros(B, dtype=np.int32)
+    n_km = np.zeros(B, dtype=np.int32)
+    scale = np.ones(B, dtype=np.float32)
+    shift = np.zeros(B, dtype=np.float32)
+    lp_stay = np.zeros(B, dtype=np.float32)
+    lp_step = np.zeros(B, dtype=np.float32)
+    lib.f5c_abea_assemble(
+        B, E, K, PAD, ev_concat, ev_off, ev_len, rank_concat, rk_off, rk_len,
+        model.level_mean, model.level_stdv, model.level_log_stdv,
+        scale_in, shift_in,
+        ev, km, ks, kl, n_ev, n_km, scale, shift, lp_stay, lp_step)
+    return ev, km, ks, kl, n_ev, n_km, scale, shift, lp_stay, lp_step

@@ -1,0 +1,678 @@
+// f5c-tpu native host runtime.
+//
+// The TPU runs the numeric DPs (ABEA band fill, profile-HMM); this library
+// is everything hot that stays on the host CPU: raw-signal event detection,
+// method-of-moments scaling, k-mer ranking, batch assembly into the padded
+// device layouts, post-alignment + recalibration, and CpG-group collection.
+// The reference implements these in C/C++ inside its core (src/events.c,
+// src/align.c:58-106/561-773, src/meth.c:23-190/473-567); the semantics
+// (including float32/float64 mixing) are kept bit-faithful to the NumPy
+// oracles in f5c_tpu/ops/*_ref.py, which are themselves validated against
+// the reference's debug-dump fixtures.
+//
+// Build: g++ -O2 -std=c++17 -shared -fPIC (see f5c_tpu/native/__init__.py).
+// ABI: plain C functions over caller-allocated NumPy buffers (ctypes).
+
+#include <algorithm>
+#include <cfloat>
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// Event detection (reference src/events.c; oracle ops/events_ref.py)
+// ---------------------------------------------------------------------------
+
+struct DetectorParams {
+  int win1, win2;
+  float thresh1, thresh2;
+  float peak_height;
+};
+
+static void compute_tstat(const double* sums, const double* sumsqs,
+                          int64_t n, int w, float* tstat) {
+  for (int64_t i = 0; i < n; i++) tstat[i] = 0.0f;
+  if (n < 2 * (int64_t)w || w < 2) return;
+  const float wf = (float)w;
+  // valid region [w, n-w); i == n-w is computed by the oracle then zeroed
+  for (int64_t i = w; i < n - w; i++) {
+    double sum1 = sums[i] - (i > w ? sums[i - w] : 0.0);
+    double sumsq1 = sumsqs[i] - (i > w ? sumsqs[i - w] : 0.0);
+    float sum2 = (float)(sums[i + w] - sums[i]);
+    float sumsq2 = (float)(sumsqs[i + w] - sumsqs[i]);
+    float mean1 = (float)(sum1 / (double)wf);
+    float mean2 = sum2 / wf;
+    double cv = sumsq1 / (double)wf - (double)(mean1 * mean1) +
+                (double)(sumsq2 / wf) - (double)(mean2 * mean2);
+    float combined_var = (float)cv;
+    if (combined_var < FLT_MIN) combined_var = FLT_MIN;
+    float delta_mean = mean2 - mean1;
+    float sq = sqrtf(combined_var / wf);
+    double t = fabs((double)delta_mean) / (double)sq;
+    tstat[i] = (float)t;
+  }
+}
+
+// Two coupled peak detectors over the t-stat tracks (events.c:380-452).
+static int64_t peak_detector(const float* t1, const float* t2, int64_t n,
+                             const DetectorParams& p, int64_t* peaks) {
+  const float* sig[2] = {t1, t2};
+  const float thresh[2] = {p.thresh1, p.thresh2};
+  const int wlen[2] = {p.win1, p.win2};
+  int64_t masked_to[2] = {0, 0};
+  int64_t peak_pos[2] = {-1, -1};
+  float peak_value[2] = {FLT_MAX, FLT_MAX};
+  bool valid_peak[2] = {false, false};
+  int64_t np_ = 0;
+  for (int64_t i = 0; i < n; i++) {
+    for (int k = 0; k < 2; k++) {
+      if (masked_to[k] >= i) continue;
+      float current_value = sig[k][i];
+      if (peak_pos[k] == -1) {
+        if (current_value < peak_value[k]) {
+          peak_value[k] = current_value;
+        } else if (current_value - peak_value[k] > p.peak_height) {
+          peak_value[k] = current_value;
+          peak_pos[k] = i;
+        }
+      } else {
+        if (current_value > peak_value[k]) {
+          peak_value[k] = current_value;
+          peak_pos[k] = i;
+        }
+        if (k == 0 && peak_value[0] > thresh[0]) {
+          masked_to[1] = peak_pos[0] + wlen[0];
+          peak_pos[1] = -1;
+          peak_value[1] = FLT_MAX;
+          valid_peak[1] = false;
+        }
+        if (peak_value[k] - current_value > p.peak_height &&
+            peak_value[k] > thresh[k]) {
+          valid_peak[k] = true;
+        }
+        if (valid_peak[k] && i - peak_pos[k] > wlen[k] / 2) {
+          peaks[np_++] = peak_pos[k];
+          peak_pos[k] = -1;
+          peak_value[k] = current_value;
+          valid_peak[k] = false;
+        }
+      }
+    }
+  }
+  return np_;
+}
+
+// Detect events over a pA-scaled f32 signal. Outputs must hold n+1 entries.
+// Returns the number of events.
+int64_t f5c_detect_events(const float* sig, int64_t n, int rna,
+                          int64_t* ev_start, float* ev_length,
+                          float* ev_mean, float* ev_stdv) {
+  DetectorParams p;
+  if (rna) {
+    p = {7, 14, 2.5f, 9.0f, 1.0f};
+  } else {
+    p = {3, 6, 1.4f, 9.0f, 0.2f};
+  }
+  // exclusive prefix sums, f64 accumulators, f32 squares (events.c:302-312)
+  std::vector<double> sums(n + 1), sumsqs(n + 1);
+  sums[0] = 0.0;
+  sumsqs[0] = 0.0;
+  for (int64_t i = 0; i < n; i++) {
+    float v = sig[i];
+    sums[i + 1] = sums[i] + (double)v;
+    sumsqs[i + 1] = sumsqs[i] + (double)(v * v);
+  }
+  std::vector<float> t1(n), t2(n);
+  compute_tstat(sums.data(), sumsqs.data(), n, p.win1, t1.data());
+  compute_tstat(sums.data(), sumsqs.data(), n, p.win2, t2.data());
+  std::vector<int64_t> peaks(n + 2);
+  int64_t np_ = peak_detector(t1.data(), t2.data(), n, p, peaks.data());
+  // events between consecutive valid peaks (events.c:466-513)
+  std::vector<int64_t> bounds;
+  bounds.reserve(np_ + 2);
+  bounds.push_back(0);
+  for (int64_t i = 0; i < np_; i++) {
+    if (peaks[i] > 0 && peaks[i] < n) bounds.push_back(peaks[i]);
+  }
+  bounds.push_back(n);
+  int64_t n_events = (int64_t)bounds.size() - 1;
+  for (int64_t i = 0; i < n_events; i++) {
+    int64_t s = bounds[i], e = bounds[i + 1];
+    float length = (float)(e - s);
+    float mean = (float)(sums[e] - sums[s]) / length;
+    float deltasqr = (float)(sumsqs[e] - sumsqs[s]);
+    float var = deltasqr / length - mean * mean;
+    ev_start[i] = s;
+    ev_length[i] = length;
+    ev_mean[i] = mean;
+    ev_stdv[i] = sqrtf(var > 0.0f ? var : 0.0f);
+  }
+  return n_events;
+}
+
+// ADC to pA: (raw + offset) * range / digitisation (f5c.c:693-696).
+void f5c_adc_to_pa(const int16_t* raw, int64_t n, float digitisation,
+                   float offset, float range, float* out) {
+  float s = range / digitisation;
+  for (int64_t i = 0; i < n; i++) out[i] = ((float)raw[i] + offset) * s;
+}
+
+// ---------------------------------------------------------------------------
+// k-mer ranks (align.c:36-47 2-bit DNA; hmm.c:30-61 base-5 ACGMT)
+// ---------------------------------------------------------------------------
+
+static inline int dna_code(char c) {
+  switch (c) {
+    case 'C': return 1;
+    case 'G': return 2;
+    case 'T': return 3;
+    default: return 0;  // A and anything else
+  }
+}
+
+static inline int meth_code(char c) {
+  switch (c) {
+    case 'C': return 1;
+    case 'G': return 2;
+    case 'M': return 3;
+    case 'T': return 4;
+    default: return 0;
+  }
+}
+
+// ranks for every k-mer; out must hold max(n-k+1, 0). Returns count.
+int64_t f5c_kmer_ranks(const char* seq, int64_t n, int k, int meth,
+                       int32_t* out) {
+  int64_t nk = n - k + 1;
+  if (nk <= 0) return 0;
+  if (meth) {
+    for (int64_t i = 0; i < nk; i++) {
+      int32_t r = 0;
+      for (int j = 0; j < k; j++) r = r * 5 + meth_code(seq[i + j]);
+      out[i] = r;
+    }
+  } else {
+    // rolling 2-bit rank
+    int32_t mask = (1 << (2 * k)) - 1;
+    int32_t r = 0;
+    for (int j = 0; j < k - 1; j++) r = (r << 2) | dna_code(seq[j]);
+    for (int64_t i = 0; i < nk; i++) {
+      r = ((r << 2) | dna_code(seq[i + k - 1])) & mask;
+      out[i] = r;
+    }
+  }
+  return nk;
+}
+
+// ---------------------------------------------------------------------------
+// Method-of-moments scaling (align.c:58-106; oracle abea_ref.py:51-84)
+// ---------------------------------------------------------------------------
+
+void f5c_mom_scalings(const float* event_means, int64_t n_events,
+                      const int32_t* ranks, int64_t n_kmers,
+                      const float* level_mean, float* shift_out,
+                      float* scale_out) {
+  double event_sum = 0.0;
+  for (int64_t i = 0; i < n_events; i++) event_sum += (double)event_means[i];
+  double kmer_sum = 0.0, kmer_sq_sum = 0.0;
+  for (int64_t i = 0; i < n_kmers; i++) {
+    double l = (double)level_mean[ranks[i]];
+    kmer_sum += l;
+    kmer_sq_sum += l * l;
+  }
+  double shift = event_sum / n_events - kmer_sum / n_kmers;
+  double event_sq_sum = 0.0;
+  for (int64_t i = 0; i < n_events; i++) {
+    double d = (double)event_means[i] - shift;
+    event_sq_sum += d * d;
+  }
+  double scale = (event_sq_sum / n_events) / (kmer_sq_sum / n_kmers);
+  *shift_out = (float)shift;
+  *scale_out = (float)scale;
+}
+
+// ---------------------------------------------------------------------------
+// ABEA batch assembly: fill the padded device arrays for B reads.
+// Layout matches ops/abea.py make_batch: rows padded by PAD on both sides.
+// ---------------------------------------------------------------------------
+
+void f5c_abea_assemble(
+    int64_t B, int64_t E, int64_t K, int64_t PAD,
+    const float* ev_concat, const int64_t* ev_off, const int64_t* ev_len,
+    const int32_t* rank_concat, const int64_t* rk_off, const int64_t* rk_len,
+    const float* level_mean, const float* level_stdv,
+    const float* level_log_stdv,
+    const float* scale_in, const float* shift_in,
+    // outputs (pre-zeroed by caller; ks pre-ones)
+    float* ev, float* km, float* ks, float* kl,
+    int32_t* n_ev, int32_t* n_km,
+    float* scale, float* shift, float* lp_stay, float* lp_step) {
+  const double eps = 1e-10;  // p_skip (align.c:210)
+  int64_t EW = E + 2 * PAD, KW = K + 2 * PAD;
+  for (int64_t b = 0; b < B; b++) {
+    const float* e = ev_concat + ev_off[b];
+    const int32_t* kr = rank_concat + rk_off[b];
+    int64_t ne = ev_len[b], nk = rk_len[b];
+    memcpy(ev + b * EW + PAD, e, ne * sizeof(float));
+    float* kmr = km + b * KW + PAD;
+    float* ksr = ks + b * KW + PAD;
+    float* klr = kl + b * KW + PAD;
+    for (int64_t i = 0; i < nk; i++) {
+      int32_t r = kr[i];
+      kmr[i] = level_mean[r];
+      ksr[i] = level_stdv[r];
+      klr[i] = level_log_stdv[r];
+    }
+    n_ev[b] = (int32_t)ne;
+    n_km[b] = (int32_t)nk;
+    scale[b] = scale_in[b];
+    shift[b] = shift_in[b];
+    double epk = (double)ne / (double)nk;
+    double p_stay = 1.0 - 1.0 / (epk + 1.0);
+    lp_stay[b] = (float)log(p_stay);
+    lp_step[b] = (float)log(1.0 - eps - p_stay);
+  }
+}
+
+// ---------------------------------------------------------------------------
+// postalign + recalibrate (align.c:561-773; oracle abea_ref.py postalign /
+// recalibrate_model). Per read. Returns 1 if calibration succeeded.
+// ---------------------------------------------------------------------------
+
+int f5c_postalign_recalibrate(
+    const int32_t* pair_k, const int32_t* pair_e, int64_t n_pairs,
+    const int32_t* ranks, int64_t n_kmers,
+    const float* event_means,
+    const float* level_mean, const float* level_stdv,
+    int64_t min_num_events_to_rescale,
+    int32_t* b2e_start, int32_t* b2e_stop,  // [n_kmers], caller-allocated
+    double* events_per_base, float* shift_out, float* scale_out,
+    float* var_out) {
+  for (int64_t i = 0; i < n_kmers; i++) {
+    b2e_start[i] = -1;
+    b2e_stop[i] = -1;
+  }
+  int64_t max_event = 0, min_event = INT32_MAX;
+  int32_t prev_event = -1;
+  for (int64_t i = 0; i < n_pairs; i++) {
+    int32_t ki = pair_k[i], ei = pair_e[i];
+    if (ei != prev_event) {
+      if (b2e_start[ki] == -1) b2e_start[ki] = ei;
+      b2e_stop[ki] = ei;
+    }
+    if (ei > max_event) max_event = ei;
+    if (ei < min_event) min_event = ei;
+    prev_event = ei;
+  }
+  *events_per_base = (double)(max_event - min_event) / (double)n_kmers;
+
+  // weighted least squares over 'M'-state calibration records
+  double A00 = 0, A01 = 0, A11 = 0, b0 = 0, b1 = 0;
+  int64_t num_m = 0;
+  int32_t prev_rank = -1;
+  // two passes over records: accumulate normal equations, then residuals
+  for (int64_t ki = 0; ki < n_kmers; ki++) {
+    if (b2e_start[ki] == -1) continue;
+    int32_t rank = ranks[ki];
+    for (int32_t ei = b2e_start[ki]; ei <= b2e_stop[ki]; ei++) {
+      bool is_m = (prev_rank != rank);
+      prev_rank = rank;
+      if (!is_m) continue;
+      num_m++;
+      double e = (double)event_means[ei];
+      double mu = (double)level_mean[rank];
+      double sd = (double)level_stdv[rank];
+      double iv = 1.0 / (sd * sd);
+      A00 += iv;
+      A01 += mu * iv;
+      A11 += mu * mu * iv;
+      b0 += e * iv;
+      b1 += mu * e * iv;
+    }
+  }
+  if (num_m < min_num_events_to_rescale) return 0;
+  double div = A00 * A11 - A01 * A01;
+  double shift = -(A01 * b1 - A11 * b0) / div;
+  double scale = (A00 * b1 - A01 * b0) / div;
+  double ss = 0.0;
+  prev_rank = -1;
+  for (int64_t ki = 0; ki < n_kmers; ki++) {
+    if (b2e_start[ki] == -1) continue;
+    int32_t rank = ranks[ki];
+    for (int32_t ei = b2e_start[ki]; ei <= b2e_stop[ki]; ei++) {
+      bool is_m = (prev_rank != rank);
+      prev_rank = rank;
+      if (!is_m) continue;
+      double e = (double)event_means[ei];
+      double mu = (double)level_mean[rank];
+      double sd = (double)level_stdv[rank];
+      double yi = e - shift - scale * mu;
+      ss += yi * yi / (sd * sd);
+    }
+  }
+  double var = sqrt(ss / (double)num_m);
+  *shift_out = (float)shift;
+  *scale_out = (float)scale;
+  *var_out = (float)var;
+  return 1;
+}
+
+// ---------------------------------------------------------------------------
+// CpG group collection (meth.c:23-190, 473-567; oracle
+// pipeline/methylation.py collect_meth_groups)
+// ---------------------------------------------------------------------------
+
+static const int METH_MIN_SEPARATION = 10;
+static const int METH_MAX_GROUP_SPAN = 200;
+
+static inline char disamb(char c) {
+  // IUPAC -> first symbol (meth.c:225-310); lowercase folded to upper
+  if (c >= 'a' && c <= 'z') c = (char)(c - 'a' + 'A');
+  switch (c) {
+    case 'A': case 'C': case 'G': case 'T': return c;
+    case 'S': case 'Y': case 'B': return 'C';
+    case 'K': return 'G';
+    default: return 'A';  // M R W V H D N and anything else
+  }
+}
+
+void f5c_disambiguate(const char* seq, int64_t n, char* out) {
+  for (int64_t i = 0; i < n; i++) out[i] = disamb(seq[i]);
+}
+
+// CIGAR ops (htslib encoding)
+enum { CMATCH = 0, CINS = 1, CDEL = 2, CREF_SKIP = 3, CSOFT = 4,
+       CHARD = 5, CPAD_OP = 6, CEQ = 7, CDIFF = 8 };
+
+// closest_event_to (meth.c:100-125): nearest kmer within +-1000 that has
+// an event; scan down first, then up.
+static int64_t closest_event_to(int64_t k_idx, const int32_t* b2e_start,
+                                int64_t n) {
+  int64_t lo = k_idx - 1000;
+  if (lo < 0) lo = 0;
+  int64_t hi = k_idx + 1000;
+  if (hi > n - 1) hi = n - 1;
+  for (int64_t i = k_idx; i > lo; i--) {
+    if (i >= 0 && i < n && b2e_start[i] != -1) return b2e_start[i];
+  }
+  for (int64_t i = k_idx; i < hi; i++) {
+    if (i >= 0 && i < n && b2e_start[i] != -1) return b2e_start[i];
+  }
+  return -1;
+}
+
+// Collect all scoreable CpG groups of one read.
+// ref_seq must be pre-disambiguated (f5c_disambiguate).
+// Group outputs are caller-allocated with capacity >= number of CpG sites.
+// Returns the number of groups emitted.
+int64_t f5c_collect_meth_groups(
+    const char* ref_seq, int64_t ref_len, int64_t ref_start_pos,
+    const int32_t* cigar_ops, const int32_t* cigar_lens, int64_t n_cigar,
+    int is_reverse, int64_t read_length,
+    const int32_t* b2e_start, int64_t n_kmers_read, int k,
+    int64_t* g_start_pos, int64_t* g_end_pos, int32_t* g_n_cpg,
+    int64_t* g_sub_start, int64_t* g_sub_end, int64_t* g_e1, int64_t* g_e2) {
+  // CpG sites
+  std::vector<int64_t> sites;
+  for (int64_t i = 0; i + 1 < ref_len; i++) {
+    if (ref_seq[i] == 'C' && ref_seq[i + 1] == 'G') sites.push_back(i);
+  }
+  if (sites.empty()) return 0;
+
+  // event-alignment record: (ref_pos, event_idx) per aligned base
+  // (meth.c:132-189), built from the CIGAR walk
+  std::vector<int64_t> rec_ref, rec_ev;
+  {
+    int64_t read_pos = 0, ref_pos = ref_start_pos;
+    for (int64_t c = 0; c < n_cigar; c++) {
+      int op = cigar_ops[c];
+      int64_t ln = cigar_lens[c];
+      if (op == CMATCH || op == CEQ || op == CDIFF) {
+        for (int64_t j = 0; j < ln; j++) {
+          int64_t rp = read_pos + j;
+          int64_t gp = ref_pos + j;
+          if (rp < k || rp + k >= read_length) continue;
+          int64_t kmer_pos = is_reverse ? (read_length - rp - k) : rp;
+          int64_t ev = closest_event_to(kmer_pos, b2e_start, n_kmers_read);
+          rec_ref.push_back(gp);
+          rec_ev.push_back(ev);
+        }
+        read_pos += ln;
+        ref_pos += ln;
+      } else if (op == CDEL || op == CREF_SKIP) {
+        ref_pos += ln;
+      } else if (op == CINS || op == CSOFT) {
+        read_pos += ln;
+      }  // CHARD, CPAD: nothing
+    }
+  }
+  int64_t nrec = (int64_t)rec_ref.size();
+  if (nrec == 0) return 0;
+  if (rec_ev[0] == rec_ev[nrec - 1]) return 0;  // degenerate
+
+  int64_t n_groups = 0;
+  size_t curr = 0;
+  while (curr < sites.size()) {
+    size_t end = curr + 1;
+    while (end < sites.size() &&
+           sites[end] - sites[end - 1] <= METH_MIN_SEPARATION) {
+      end++;
+    }
+    int64_t first = sites[curr];
+    int64_t last = sites[end - 1];
+    int64_t n_cpg = (int64_t)(end - curr);
+    curr = end;
+
+    int64_t sub_start = first - METH_MIN_SEPARATION;
+    int64_t sub_end = last + METH_MIN_SEPARATION;
+    int64_t span = last - first;
+    if (sub_start <= METH_MIN_SEPARATION || span > METH_MAX_GROUP_SPAN) {
+      continue;
+    }
+    int64_t calling_start = sub_start + ref_start_pos;
+    int64_t calling_end = sub_end + ref_start_pos;
+
+    // find_by_ref_bounds (meth.c:425-470): binary search over rec_ref
+    int64_t start_i = std::lower_bound(rec_ref.begin(), rec_ref.end(),
+                                       calling_start) - rec_ref.begin();
+    int64_t stop_i = std::lower_bound(rec_ref.begin(), rec_ref.end(),
+                                      calling_end) - rec_ref.begin();
+    if (start_i == nrec || stop_i == nrec) continue;
+    bool left_bounded =
+        rec_ref[start_i] <= calling_start ||
+        (start_i != 0 && rec_ref[start_i - 1] <= calling_start);
+    bool right_bounded =
+        rec_ref[stop_i] >= calling_end ||
+        (stop_i != nrec && stop_i + 1 < nrec &&
+         rec_ref[stop_i + 1] >= calling_start);
+    if (!left_bounded || !right_bounded) continue;
+    int64_t e1 = rec_ev[start_i], e2 = rec_ev[stop_i];
+    // NB: reference computes the ratio with a negative denominator
+    // (meth.c:551) so this QC never fires; reproduced for parity.
+    double ratio = std::abs((double)(e2 - e1)) /
+                   (double)(calling_start - calling_end);
+    if (std::abs(e2 - e1) <= 10 || ratio > 20.0) continue;
+
+    g_start_pos[n_groups] = first + ref_start_pos;
+    g_end_pos[n_groups] = last + ref_start_pos;
+    g_n_cpg[n_groups] = (int32_t)n_cpg;
+    g_sub_start[n_groups] = sub_start;
+    g_sub_end[n_groups] = sub_end;
+    g_e1[n_groups] = e1;
+    g_e2[n_groups] = e2;
+    n_groups++;
+  }
+  return n_groups;
+}
+
+// ---------------------------------------------------------------------------
+// HMM batch assembly: fill the padded [N, pad_k] / [N, pad_e] device arrays
+// for one scoring bucket (pipeline/runner.py meth_batch; oracle
+// ops/hmm_ref.py window_kmer_ranks + ops/hmm.py make_hmm_batch).
+// ---------------------------------------------------------------------------
+
+static const double HMM_P_SKIP = 0.0025;
+static const double HMM_P_BAD = 0.001;
+
+static inline char comp(char c) {
+  switch (c) {
+    case 'A': return 'T';
+    case 'C': return 'G';
+    case 'G': return 'C';
+    case 'T': return 'A';
+    default: return 'T';  // matches the Python fallback
+  }
+}
+
+// methylate: CG -> MG (meth.c:362-385)
+static void methylate_buf(char* s, int64_t n) {
+  for (int64_t i = 0; i + 1 < n; i++) {
+    if (s[i] == 'C' && s[i + 1] == 'G') s[i] = 'M';
+  }
+}
+
+// meth-aware reverse complement (meth.c:390-423)
+static void revcomp_meth(const char* s, int64_t n, char* out) {
+  int64_t i = 0, j = n - 1;
+  while (i < n) {
+    if (s[i] == 'M' && i + 1 < n && s[i + 1] == 'G') {
+      out[j] = 'G';
+      out[j - 1] = 'M';
+      i += 2;
+      j -= 2;
+    } else {
+      out[j] = comp(s[i]);
+      i += 1;
+      j -= 1;
+    }
+  }
+}
+
+// Assemble one HMM bucket of n_items work items.
+//
+// Per item i: the window sequence is ref_concat[ref_off[it_read[i]] +
+// it_sub_start[i] .. +it_sub_end[i]] (inclusive, pre-disambiguated);
+// methylated (CG->MG) when it_meth[i]. Events are
+// ev_concat[ev_off[it_read[i]] + ...] walked from it_e1 to it_e2.
+// Outputs are row-major [N, pad_k] / [N, pad_e], pre-zeroed except gp_inv
+// (pre-ones).
+void f5c_hmm_assemble(
+    int64_t n_items, int64_t pad_k, int64_t pad_e, int k,
+    const char* ref_concat, const int64_t* ref_off,
+    const float* ev_concat, const int64_t* ev_off,
+    const int32_t* it_read, const int64_t* it_sub_start,
+    const int64_t* it_sub_end, const uint8_t* it_meth,
+    const int64_t* it_e1, const int64_t* it_e2, const uint8_t* read_rc,
+    const float* read_scale, const float* read_shift, const float* read_var,
+    const float* read_epb,
+    const float* level_mean, const float* level_stdv,
+    const float* level_log_stdv,
+    float* gp_mean, float* gp_inv, float* gp_log, float* ev_out,
+    int32_t* n_km, int32_t* n_ev, float* lp_stay, float* lp_step) {
+  std::vector<char> buf, rcbuf;
+  for (int64_t i = 0; i < n_items; i++) {
+    int32_t rd = it_read[i];
+    const char* ref = ref_concat + ref_off[rd];
+    int64_t L = it_sub_end[i] - it_sub_start[i] + 1;
+    buf.assign(ref + it_sub_start[i], ref + it_sub_start[i] + L);
+    if (it_meth[i]) methylate_buf(buf.data(), L);
+    int64_t nk = L - k + 1;
+    if (nk < 0) nk = 0;
+    bool rc = read_rc[rd] != 0;
+
+    float scale = read_scale[rd];
+    float shift = read_shift[rd];
+    float var = read_var[rd];
+    float log_var = logf(var);
+
+    float* gm = gp_mean + i * pad_k;
+    float* gi = gp_inv + i * pad_k;
+    float* gl = gp_log + i * pad_k;
+    if (!rc) {
+      for (int64_t ki = 0; ki < nk; ki++) {
+        int32_t r = 0;
+        for (int j = 0; j < k; j++) r = r * 5 + meth_code(buf[ki + j]);
+        gm[ki] = scale * level_mean[r] + shift;
+        float sd = level_stdv[r] * var;
+        gi[ki] = 1.0f / sd;
+        gl[ki] = level_log_stdv[r] + log_var;
+      }
+    } else {
+      // hmm.c:384-401: reverse strand reads the rc sequence from the back
+      rcbuf.resize(L);
+      revcomp_meth(buf.data(), L, rcbuf.data());
+      for (int64_t ki = 0; ki < nk; ki++) {
+        int64_t off = L - ki - k;
+        int32_t r = 0;
+        for (int j = 0; j < k; j++) r = r * 5 + meth_code(rcbuf[off + j]);
+        gm[ki] = scale * level_mean[r] + shift;
+        float sd = level_stdv[r] * var;
+        gi[ki] = 1.0f / sd;
+        gl[ki] = level_log_stdv[r] + log_var;
+      }
+    }
+    n_km[i] = (int32_t)nk;
+
+    int64_t e1 = it_e1[i], e2 = it_e2[i];
+    int64_t ne = (e2 >= e1 ? e2 - e1 : e1 - e2) + 1;
+    int stride = e2 >= e1 ? 1 : -1;
+    const float* evs = ev_concat + ev_off[rd];
+    float* er = ev_out + i * pad_e;
+    for (int64_t j = 0; j < ne; j++) er[j] = evs[e1 + j * stride];
+    n_ev[i] = (int32_t)ne;
+
+    double epb = (double)read_epb[rd];
+    double p_stay = 1.0 - 1.0 / epb;
+    lp_stay[i] = (float)log(p_stay);
+    lp_step[i] = (float)log(1.0 - p_stay - HMM_P_SKIP - HMM_P_BAD);
+  }
+}
+
+// Slim variant of f5c_hmm_assemble for device-side assembly: only the
+// per-item kmer ranks (padded [N, pad_k] row-major, int16 when the model
+// fits) and window kmer counts. The device gathers the model tables and
+// builds event windows itself, so the host->device transfer is compact.
+void f5c_hmm_window_ranks(
+    int64_t n_items, int64_t pad_k, int k,
+    const char* ref_concat, const int64_t* ref_off,
+    const int32_t* it_read, const int64_t* it_sub_start,
+    const int64_t* it_sub_end, const uint8_t* it_meth,
+    const uint8_t* read_rc,
+    int use_i16, void* ranks_out, int32_t* n_km) {
+  std::vector<char> buf, rcbuf;
+  int16_t* r16 = (int16_t*)ranks_out;
+  int32_t* r32 = (int32_t*)ranks_out;
+  for (int64_t i = 0; i < n_items; i++) {
+    int32_t rd = it_read[i];
+    const char* ref = ref_concat + ref_off[rd];
+    int64_t L = it_sub_end[i] - it_sub_start[i] + 1;
+    buf.assign(ref + it_sub_start[i], ref + it_sub_start[i] + L);
+    if (it_meth[i]) methylate_buf(buf.data(), L);
+    int64_t nk = L - k + 1;
+    if (nk < 0) nk = 0;
+    const char* s = buf.data();
+    int64_t base = i * pad_k;
+    if (read_rc[rd]) {
+      rcbuf.resize(L);
+      revcomp_meth(buf.data(), L, rcbuf.data());
+      for (int64_t ki = 0; ki < nk; ki++) {
+        int64_t off = L - ki - k;
+        int32_t r = 0;
+        for (int j = 0; j < k; j++) r = r * 5 + meth_code(rcbuf[off + j]);
+        if (use_i16) r16[base + ki] = (int16_t)r; else r32[base + ki] = r;
+      }
+    } else {
+      for (int64_t ki = 0; ki < nk; ki++) {
+        int32_t r = 0;
+        for (int j = 0; j < k; j++) r = r * 5 + meth_code(s[ki + j]);
+        if (use_i16) r16[base + ki] = (int16_t)r; else r32[base + ki] = r;
+      }
+    }
+    n_km[i] = (int32_t)nk;
+  }
+}
+
+}  // extern "C"

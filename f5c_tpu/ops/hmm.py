@@ -221,3 +221,37 @@ def hmm_forward_batch(batch: HmmBatch, pad_events: int,
     return f(batch.gp_mean, batch.gp_inv_stdv, batch.gp_log_stdv,
              batch.event_means, batch.n_kmers, batch.n_events,
              batch.lp_stay, batch.lp_step)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("pad_events", "allow_pre", "allow_post"))
+def hmm_forward_packed(ranks, n_kmers, ev_concat, ev_start, ev_stride,
+                       n_events, scale, shift, var, lp_stay, lp_step,
+                       level_mean, level_stdv, level_log_stdv,
+                       pad_events: int, allow_pre: bool = True,
+                       allow_post: bool = True):
+    """Forward scores with device-side input assembly.
+
+    Compact inputs — per-item kmer ranks [N, K] (i16/i32), the batch's flat
+    event pool, per-item window start/stride, and per-item calibration
+    scalars — are expanded into the padded Gaussian tables and event
+    windows on device (table gather + affine), so the host->device
+    transfer is ~10x smaller than shipping the assembled f32 arrays.
+    """
+    r = ranks.astype(jnp.int32)
+    gp_mean = scale[:, None] * level_mean[r] + shift[:, None]
+    sd = level_stdv[r] * var[:, None]
+    gp_inv = jnp.float32(1.0) / sd
+    gp_log = level_log_stdv[r] + jnp.log(var)[:, None]
+    # mask padding kmers (rank 0 in padding rows would otherwise produce
+    # finite emissions; _forward_single masks by n_kmers, but keep the
+    # gp rows harmless anyway)
+    rows = jnp.arange(pad_events, dtype=jnp.int32)
+    idx = ev_start[:, None] + rows[None, :] * ev_stride[:, None]
+    idx = jnp.clip(idx, 0, ev_concat.shape[0] - 1)
+    ev = ev_concat[idx]
+    batch = HmmBatch(gp_mean=gp_mean, gp_inv_stdv=gp_inv, gp_log_stdv=gp_log,
+                     event_means=ev, n_kmers=n_kmers, n_events=n_events,
+                     lp_stay=lp_stay, lp_step=lp_step)
+    return hmm_forward_batch(batch, pad_events, allow_pre=allow_pre,
+                             allow_post=allow_post)

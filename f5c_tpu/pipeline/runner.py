@@ -103,8 +103,6 @@ def _worker_init(model_kind: str, model_path: str | None, rna: bool):
 def _worker_load(args):
     """signal fetch + pA + events + MoM for one read (events.c path)."""
     from ..io.fast5 import read_fast5_signal
-    from ..ops.abea_ref import estimate_scalings_using_mom
-    from ..ops.events_ref import detect_events
 
     qname, path, seq, keep_raw = args
     model = _W["model"]
@@ -116,8 +114,17 @@ def _worker_load(args):
     if sig.nsample == 0:
         return qname, None
     pa = sig.to_pa()
-    et = detect_events(pa, rna=rna)
-    sc = estimate_scalings_using_mom(seq, model, et.mean)
+    from .. import native
+    if native.available():
+        et = native.detect_events(pa, rna=rna)
+        ranks = native.kmer_ranks(seq, model.k)
+        sc = native.mom_scalings(et.mean, ranks, model.level_mean)
+    else:
+        from ..ops.abea_ref import estimate_scalings_using_mom
+        from ..ops.events_ref import detect_events
+
+        et = detect_events(pa, rna=rna)
+        sc = estimate_scalings_using_mom(seq, model, et.mean)
     means = et.mean
     starts, lengths, stdvs = et.start, et.length, et.stdv
     if rna:
@@ -172,12 +179,17 @@ class Pipeline:
         opt = self.opt
         import multiprocessing as mp
 
-        # spawn: forking a process that holds a live TPU client is unsafe
-        pool = ProcessPoolExecutor(
-            max_workers=opt.num_proc,
-            mp_context=mp.get_context("spawn"),
-            initializer=_worker_init,
-            initargs=(self._model_kind, opt.kmer_model_path, opt.rna))
+        if opt.num_proc <= 1:
+            # single host core: run loads inline, no IPC overhead
+            _worker_init(self._model_kind, opt.kmer_model_path, opt.rna)
+            pool = None
+        else:
+            # spawn: forking a process with a live TPU client is unsafe
+            pool = ProcessPoolExecutor(
+                max_workers=opt.num_proc,
+                mp_context=mp.get_context("spawn"),
+                initializer=_worker_init,
+                initargs=(self._model_kind, opt.kmer_model_path, opt.rna))
         try:
             batch: list[ReadRecord] = []
             bases = 0
@@ -213,12 +225,15 @@ class Pipeline:
             if batch:
                 yield self._load_batch(pool, batch, keep_raw)
         finally:
-            pool.shutdown(wait=False, cancel_futures=True)
+            if pool is not None:
+                pool.shutdown(wait=False, cancel_futures=True)
 
     def _load_batch(self, pool, batch, keep_raw):
         t0 = time.time()
         args = [(r.qname, r.signal_path, r.seq, keep_raw) for r in batch]
-        for r, (qname, data) in zip(batch, pool.map(_worker_load, args)):
+        results = (map(_worker_load, args) if pool is None
+                   else pool.map(_worker_load, args))
+        for r, (qname, data) in zip(batch, results):
             assert qname == r.qname
             if data is None:
                 self.counters["bad_signal"] += 1
@@ -243,10 +258,53 @@ class Pipeline:
 
         return jax.default_backend() not in ("cpu",)
 
+    def _make_abea_batch(self, todo, ranks):
+        """Padded AbeaBatch; native assembly when available."""
+        from .. import native
+        from ..ops import abea
+
+        ev = [r.event_means for r in todo]
+        E = _bucket(max(e.shape[0] for e in ev))
+        K = _bucket(max(k.shape[0] for k in ranks))
+        if not native.available():
+            dbatch = abea.make_batch(ev, ranks, self.model, pad_events=E,
+                                     pad_kmers=K,
+                                     scalings=[r.scaling for r in todo])
+            return dbatch, E, K
+        import jax.numpy as jnp
+
+        B = len(todo)
+        ev_len = np.array([e.shape[0] for e in ev], np.int64)
+        ev_off = np.zeros(B, np.int64)
+        np.cumsum(ev_len[:-1], out=ev_off[1:])
+        ev_concat = np.concatenate(ev).astype(np.float32, copy=False)
+        rk_len = np.array([k.shape[0] for k in ranks], np.int64)
+        rk_off = np.zeros(B, np.int64)
+        np.cumsum(rk_len[:-1], out=rk_off[1:])
+        rk_concat = np.ascontiguousarray(np.concatenate(ranks),
+                                         dtype=np.int32)
+        out = native.abea_assemble(
+            B, E, abea.PAD, ev_concat, ev_off, ev_len, rk_concat, rk_off,
+            rk_len, self.model,
+            np.array([r.scaling.scale for r in todo], np.float32),
+            np.array([r.scaling.shift for r in todo], np.float32), K)
+        evp, km, ks, kl, n_ev, n_km, scale, shift, lp_stay, lp_step = out
+        from ..constants import ABEA_EPSILON_SKIP, ABEA_LP_TRIM_P
+
+        dbatch = abea.AbeaBatch(
+            event_means=jnp.asarray(evp), kmer_mean=jnp.asarray(km),
+            kmer_stdv=jnp.asarray(ks), kmer_log_stdv=jnp.asarray(kl),
+            n_events=jnp.asarray(n_ev), n_kmers=jnp.asarray(n_km),
+            scale=jnp.asarray(scale), shift=jnp.asarray(shift),
+            lp_stay=jnp.asarray(lp_stay), lp_step=jnp.asarray(lp_step),
+            lp_skip=jnp.full(B, np.log(ABEA_EPSILON_SKIP), dtype=np.float32),
+            lp_trim=jnp.full(B, np.log(ABEA_LP_TRIM_P), dtype=np.float32))
+        return dbatch, E, K
+
     def align_batch(self, batch: list[ReadRecord]):
         """ABEA on device for all loadable reads; fills pairs + scaling."""
+        from .. import native
         from ..ops import abea
-        from ..ops.scaling import postalign_np, recalibrate_np
 
         t0 = time.time()
         todo = []
@@ -259,13 +317,11 @@ class Pipeline:
             todo.append(r)
         if not todo:
             return
-        ranks = [self.model.kmer_ranks(r.seq) for r in todo]
-        ev = [r.event_means for r in todo]
-        E = _bucket(max(e.shape[0] for e in ev))
-        K = _bucket(max(k.shape[0] for k in ranks))
-        dbatch = abea.make_batch(ev, ranks, self.model, pad_events=E,
-                                 pad_kmers=K,
-                                 scalings=[r.scaling for r in todo])
+        if native.available():
+            ranks = [native.kmer_ranks(r.seq, self.model.k) for r in todo]
+        else:
+            ranks = [self.model.kmer_ranks(r.seq) for r in todo]
+        dbatch, E, K = self._make_abea_batch(todo, ranks)
         n_bands = E + K + 2
         if self._use_pallas():
             from ..ops.abea_pallas import align_batch_pallas
@@ -289,26 +345,46 @@ class Pipeline:
             ni = int(n[i])
             pairs = np.stack([pk[i, :ni][::-1], pe[i, :ni][::-1]], axis=1)
             r.pairs = pairs
-            n_kmers = len(r.seq) - self.model.k + 1
-            post = postalign_np(pairs, ranks[i], n_kmers)
-            ok, rc = recalibrate_np(
-                self.model.level_mean, self.model.level_stdv, ranks[i],
-                r.event_means, post, self.opt.min_num_events_to_rescale)
-            if not ok or rc.var > MIN_CALIBRATION_VAR:
-                r.status |= FAILED_CALIBRATION
-                continue
-            if post.events_per_base > MAX_EVENTS_PER_BASE:
-                r.status |= FAILED_QUALITY_CHK
-                continue
-            r.scaling = rc
-            r.events_per_base = post.events_per_base
-            r.b2e_start = post.base_to_event_start
-            r.b2e_stop = post.base_to_event_stop
+            self._postalign_one(r, ranks[i], pairs)
         self.stage_time["scaling"] += time.time() - t0
+
+    def _postalign_one(self, r: ReadRecord, rks: np.ndarray,
+                       pairs: np.ndarray):
+        from .. import native
+
+        n_kmers = len(r.seq) - self.model.k + 1
+        if native.available():
+            ok, b2e_start, b2e_stop, epb, rc = native.postalign_recalibrate(
+                pairs, rks, r.event_means, self.model.level_mean,
+                self.model.level_stdv, self.opt.min_num_events_to_rescale)
+        else:
+            from ..ops.scaling import postalign_np, recalibrate_np
+
+            post = postalign_np(pairs, rks, n_kmers)
+            ok, rc = recalibrate_np(
+                self.model.level_mean, self.model.level_stdv, rks,
+                r.event_means, post, self.opt.min_num_events_to_rescale)
+            b2e_start = post.base_to_event_start
+            b2e_stop = post.base_to_event_stop
+            epb = post.events_per_base
+        if not ok or rc.var > MIN_CALIBRATION_VAR:
+            r.status |= FAILED_CALIBRATION
+            return
+        if epb > MAX_EVENTS_PER_BASE:
+            r.status |= FAILED_QUALITY_CHK
+            return
+        r.scaling = rc
+        r.events_per_base = epb
+        r.b2e_start = b2e_start
+        r.b2e_stop = b2e_stop
 
     def meth_batch(self, batch: list[ReadRecord]):
         """CpG group collection + batched device HMM; returns
         {read -> {start_pos -> ScoredSite}} keeping batch order."""
+        from .. import native
+
+        if native.available():
+            return self._meth_batch_native(batch)
         from ..ops.hmm import hmm_forward_batch, make_hmm_batch
         from .methylation import collect_meth_groups
 
@@ -366,6 +442,162 @@ class Pipeline:
             site.ll_unmethylated = float(scores[2 * j])
             site.ll_methylated = float(scores[2 * j + 1])
         return out
+
+    def _meth_batch_native(self, batch: list[ReadRecord]):
+        """Native group collection + HMM bucket assembly, device scoring.
+
+        Work items across all reads of the batch are flattened, bucketed by
+        (event-window, kmer-window) padded shape — with the item count also
+        padded to a power of two so compiled shapes are reused across
+        batches — and scored with the batched device HMM.
+        """
+        import jax.numpy as jnp
+
+        from .. import native
+        from ..ops.hmm import hmm_forward_packed
+        from .methylation import ScoredSite
+
+        t0 = time.time()
+        k = self.cpg_model.k
+        reads = [r for r in batch if not r.status and r.b2e_start is not None]
+        if not reads:
+            self.stage_time["hmm"] += time.time() - t0
+            return {}
+        ref_disamb: list[bytes] = []
+        group_arrays = []
+        for r in reads:
+            dis = native.disambiguate(self._fetch_ref_segment(r).encode())
+            ref_disamb.append(dis)
+            cig_ops = np.fromiter((op for op, _ in r.cigar), np.int32,
+                                  len(r.cigar))
+            cig_lens = np.fromiter((ln for _, ln in r.cigar), np.int32,
+                                   len(r.cigar))
+            group_arrays.append(native.collect_meth_groups(
+                dis, r.pos, cig_ops, cig_lens, r.is_reverse, len(r.seq),
+                r.b2e_start, k))
+
+        # flatten groups -> per-item arrays (2 items per group: unmeth, meth)
+        n_groups_per_read = [g["start_pos"].shape[0] for g in group_arrays]
+        total_g = int(sum(n_groups_per_read))
+        if total_g == 0:
+            self.stage_time["hmm"] += time.time() - t0
+            return {}
+        g_read = np.repeat(np.arange(len(reads), dtype=np.int32),
+                           n_groups_per_read)
+        g_sub_start = np.concatenate([g["sub_start"] for g in group_arrays])
+        g_sub_end = np.concatenate([g["sub_end"] for g in group_arrays])
+        g_e1 = np.concatenate([g["e1"] for g in group_arrays])
+        g_e2 = np.concatenate([g["e2"] for g in group_arrays])
+
+        it_read = np.repeat(g_read, 2)
+        it_sub_start = np.repeat(g_sub_start, 2)
+        it_sub_end = np.repeat(g_sub_end, 2)
+        it_e1 = np.repeat(g_e1, 2)
+        it_e2 = np.repeat(g_e2, 2)
+        it_meth = np.tile(np.array([0, 1], np.uint8), total_g)
+        n_items = 2 * total_g
+
+        # per-read device-input side arrays
+        ref_off = np.zeros(len(reads), np.int64)
+        np.cumsum([len(d) for d in ref_disamb][:-1], out=ref_off[1:])
+        ref_concat = b"".join(ref_disamb)
+        ev_lens = [r.event_means.shape[0] for r in reads]
+        ev_off = np.zeros(len(reads), np.int64)
+        np.cumsum(ev_lens[:-1], out=ev_off[1:])
+        ev_concat = np.ascontiguousarray(
+            np.concatenate([r.event_means for r in reads]), dtype=np.float32)
+        read_rc = np.array([1 if r.is_reverse else 0 for r in reads],
+                           np.uint8)
+        read_scale = np.array([r.scaling.scale for r in reads], np.float32)
+        read_shift = np.array([r.scaling.shift for r in reads], np.float32)
+        read_var = np.array([r.scaling.var for r in reads], np.float32)
+        read_epb = np.array([r.events_per_base for r in reads], np.float32)
+
+        # flat event pool goes to the device once per batch
+        ev_pool = jnp.asarray(ev_concat)
+        lm_dev, ls_dev, ll_dev = self._cpg_dev_tables()
+
+        sizes = np.abs(it_e2 - it_e1) + 1
+        ksizes = (it_sub_end - it_sub_start + 1) - k + 1
+        it_epb = read_epb[it_read].astype(np.float64)
+        p_stay = 1.0 - 1.0 / it_epb
+        from ..constants import HMM_P_BAD, HMM_P_SKIP
+
+        it_lp_stay = np.log(p_stay).astype(np.float32)
+        it_lp_step = np.log(1.0 - p_stay - HMM_P_SKIP - HMM_P_BAD).astype(
+            np.float32)
+        it_ev_start = (ev_off[it_read] + it_e1).astype(np.int32)
+        it_stride = np.where(it_e2 >= it_e1, 1, -1).astype(np.int32)
+        it_n_ev = sizes.astype(np.int32)
+        it_scale = read_scale[it_read]
+        it_shift = read_shift[it_read]
+        it_var = read_var[it_read]
+
+        scores = np.zeros(n_items, dtype=np.float32)
+        size_keys = np.array([_bucket(int(s), minimum=128) for s in sizes])
+        for pad_e in np.unique(size_keys):
+            idxs = np.nonzero(size_keys == pad_e)[0]
+            pad_k = _bucket(int(ksizes[idxs].max()), minimum=128)
+            n_sub = idxs.shape[0]
+            n_pad = _nbucket(n_sub)
+            ranks, n_km = native.hmm_window_ranks(
+                n_sub, n_pad, pad_k, k, ref_concat, ref_off,
+                it_read[idxs], it_sub_start[idxs], it_sub_end[idxs],
+                it_meth[idxs], read_rc, self.cpg_model.num_kmers)
+
+            def _pad1(a, fill=0):
+                out = np.full(n_pad, fill, dtype=a.dtype)
+                out[:n_sub] = a[idxs]
+                return out
+
+            s = np.asarray(hmm_forward_packed(
+                jnp.asarray(ranks), jnp.asarray(n_km), ev_pool,
+                jnp.asarray(_pad1(it_ev_start)),
+                jnp.asarray(_pad1(it_stride, fill=1)),
+                jnp.asarray(_pad1(it_n_ev)),
+                jnp.asarray(_pad1(it_scale, fill=1)),
+                jnp.asarray(_pad1(it_shift)),
+                jnp.asarray(_pad1(it_var, fill=1)),
+                jnp.asarray(_pad1(it_lp_stay)),
+                jnp.asarray(_pad1(it_lp_step)),
+                lm_dev, ls_dev, ll_dev, pad_events=int(pad_e)))
+            scores[idxs] = s[:n_sub]
+        self.stage_time["hmm"] += time.time() - t0
+
+        # aggregate into ScoredSites (kept per read in batch order)
+        out_sites: dict[int, dict] = {}
+        gi = 0
+        for ri, r in enumerate(reads):
+            g = group_arrays[ri]
+            site_map = out_sites.setdefault(id(r), {})
+            dis = ref_disamb[ri]
+            for j in range(g["start_pos"].shape[0]):
+                start = int(g["start_pos"][j])
+                first = start - r.pos
+                last = int(g["end_pos"][j]) - r.pos
+                site = site_map.get(start)
+                if site is None:
+                    site = ScoredSite(
+                        start_position=start,
+                        end_position=int(g["end_pos"][j]),
+                        n_cpg=int(g["n_cpg"][j]),
+                        sequence=dis[first - k + 1 : last + k].decode())
+                    site_map[start] = site
+                site.ll_unmethylated = float(scores[2 * gi])
+                site.ll_methylated = float(scores[2 * gi + 1])
+                gi += 1
+        return out_sites
+
+    def _cpg_dev_tables(self):
+        """Device-resident CpG model tables (cached)."""
+        if not hasattr(self, "_cpg_dev"):
+            import jax.numpy as jnp
+
+            m = self.cpg_model
+            self._cpg_dev = (jnp.asarray(m.level_mean),
+                             jnp.asarray(m.level_stdv),
+                             jnp.asarray(m.level_log_stdv))
+        return self._cpg_dev
 
     def _fetch_ref_segment(self, r: ReadRecord) -> str:
         from ..io.bam import BamRecord
@@ -445,3 +677,12 @@ def _bucket(n: int, minimum: int = 256) -> int:
     while b < n:
         b *= 2
     return b
+
+
+def _nbucket(n: int) -> int:
+    """Batch-count bucket: powers of two up to 8192, then multiples of
+    8192 — bounds both recompiles and padding waste for large item
+    counts."""
+    if n <= 8192:
+        return _bucket(n, minimum=256)
+    return ((n + 8191) // 8192) * 8192
