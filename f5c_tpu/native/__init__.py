@@ -78,6 +78,11 @@ def _declare(lib):
         _i32p, _i32p, _i64, _i32p, _i64, _f32p, _f32p, _f32p, _i64,
         _i32p, _i32p, ctypes.POINTER(ctypes.c_double),
         ctypes.POINTER(_f32), ctypes.POINTER(_f32), ctypes.POINTER(_f32)]
+    lib.f5c_decode_postalign.restype = _int
+    lib.f5c_decode_postalign.argtypes = [
+        _u8p, _i64, _i64, _i32p, _i64, _f32p, _f32p, _f32p, _i64,
+        _i32p, _i32p, _i32p, _i32p, ctypes.POINTER(ctypes.c_double),
+        ctypes.POINTER(_f32), ctypes.POINTER(_f32), ctypes.POINTER(_f32)]
     lib.f5c_disambiguate.restype = None
     lib.f5c_disambiguate.argtypes = [_i8p, _i64, _i8p]
     lib.f5c_collect_meth_groups.restype = _i64
@@ -206,6 +211,36 @@ def postalign_recalibrate(pairs: np.ndarray, ranks: np.ndarray,
     sc = Scalings(shift=float(shift.value), scale=float(scale.value),
                   var=float(var.value)) if ok else Scalings()
     return bool(ok), b2e_start, b2e_stop, float(epb.value), sc
+
+
+def decode_postalign(packed_dirs: np.ndarray, n: int, start_event: int,
+                     ranks: np.ndarray, event_means: np.ndarray,
+                     level_mean, level_stdv,
+                     min_num_events_to_rescale: int):
+    """-> (calibrated, pairs[n,2], b2e_start, b2e_stop, epb, Scalings)."""
+    from ..ops.abea_ref import Scalings
+
+    lib = get_lib()
+    n_kmers = ranks.shape[0]
+    pairs_k = np.empty(n, dtype=np.int32)
+    pairs_e = np.empty(n, dtype=np.int32)
+    b2e_start = np.empty(n_kmers, dtype=np.int32)
+    b2e_stop = np.empty(n_kmers, dtype=np.int32)
+    epb = ctypes.c_double()
+    shift = _f32()
+    scale = _f32()
+    var = _f32()
+    ok = lib.f5c_decode_postalign(
+        np.ascontiguousarray(packed_dirs), n, start_event,
+        np.ascontiguousarray(ranks, dtype=np.int32), n_kmers,
+        np.ascontiguousarray(event_means, dtype=np.float32),
+        level_mean, level_stdv, min_num_events_to_rescale,
+        pairs_k, pairs_e, b2e_start, b2e_stop, ctypes.byref(epb),
+        ctypes.byref(shift), ctypes.byref(scale), ctypes.byref(var))
+    sc = Scalings(shift=float(shift.value), scale=float(scale.value),
+                  var=float(var.value)) if ok else Scalings()
+    pairs = np.stack([pairs_k, pairs_e], axis=1)
+    return bool(ok), pairs, b2e_start, b2e_stop, float(epb.value), sc
 
 
 def disambiguate(seq: bytes) -> bytes:

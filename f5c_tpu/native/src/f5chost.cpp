@@ -631,6 +631,43 @@ void f5c_hmm_assemble(
   }
 }
 
+// Decode a packed 2-bit backtrace walk (4 direction codes per byte,
+// little-endian within the byte; 0=diag, 1=up, 2=left) into ascending
+// aligned pairs, then postalign + recalibrate in the same pass.  This is
+// the host half of the compact ABEA output contract: the device ships the
+// walk (n/4 bytes) instead of the pairs (8n bytes).
+// pairs_k/pairs_e are caller-allocated with capacity n.
+int f5c_decode_postalign(
+    const uint8_t* packed_dirs, int64_t n, int64_t start_event,
+    const int32_t* ranks, int64_t n_kmers,
+    const float* event_means,
+    const float* level_mean, const float* level_stdv,
+    int64_t min_num_events_to_rescale,
+    int32_t* pairs_k, int32_t* pairs_e,
+    int32_t* b2e_start, int32_t* b2e_stop,
+    double* events_per_base, float* shift_out, float* scale_out,
+    float* var_out) {
+  int64_t k = n_kmers - 1, e = start_event;
+  for (int64_t i = 0; i < n; i++) {
+    // walk order is reverse path order; fill ascending from the back
+    pairs_k[n - 1 - i] = (int32_t)k;
+    pairs_e[n - 1 - i] = (int32_t)e;
+    int d = (packed_dirs[i >> 2] >> ((i & 3) * 2)) & 3;
+    if (d == 1) {            // FROM_U: stay on kmer, previous event
+      e -= 1;
+    } else if (d == 0) {     // FROM_D: previous kmer and event
+      k -= 1;
+      e -= 1;
+    } else {                 // FROM_L: skip kmer
+      k -= 1;
+    }
+  }
+  return f5c_postalign_recalibrate(
+      pairs_k, pairs_e, n, ranks, n_kmers, event_means, level_mean,
+      level_stdv, min_num_events_to_rescale, b2e_start, b2e_stop,
+      events_per_base, shift_out, scale_out, var_out);
+}
+
 // Slim variant of f5c_hmm_assemble for device-side assembly: only the
 // per-item kmer ranks (padded [N, pad_k] row-major, int16 when the model
 // fits) and window kmer counts. The device gathers the model tables and

@@ -319,3 +319,155 @@ def align_batch(batch: AbeaBatch, n_bands: int, max_pairs: int):
     QC)."""
     fill_out = abea_fill(batch, n_bands)
     return abea_backtrace(fill_out, batch, max_pairs)
+
+
+# --- compact-output backtrace --------------------------------------------
+#
+# The pairs arrays are huge ([B, E+K] i32 x2) and device->host bandwidth is
+# the scarce resource; instead of materialising pairs on device, emit the
+# walk as 2-bit direction codes packed 4-per-byte plus the start cell.  The
+# native postalign (f5c_decode_postalign) reconstructs the pairs while
+# computing the base-to-event map, so the full pairs array never crosses
+# the device boundary.
+
+def _backtrace_packed_single(trace, ll_event, ll_kmer, last_col, ev, km, ks,
+                             kl, n_events, n_kmers, scale, shift, lp_trim,
+                             max_pairs: int):
+    """Backtrace one read, compact output.
+
+    Returns (dirs u8 [max_pairs] with values FROM_*, start_event i32,
+    n_pairs i32, sum_emission f32, max_gap i32, failed bool).  The walk
+    starts at (n_kmers-1, start_event); pair i (reverse path order) is
+    reconstructed by applying dirs[0..i)."""
+    n_bands = trace.shape[0]
+    off_lc = (n_kmers - 1) - ll_kmer
+    event_at_lc = ll_event - off_lc
+    s = last_col + (n_events - event_at_lc).astype(jnp.float32) * lp_trim
+    s = jnp.where((event_at_lc >= 0) & (event_at_lc < n_events)
+                  & (off_lc >= 0) & (off_lc < BW), s, NEG_INF)
+    best_band = jnp.argmax(s)
+    start_event = event_at_lc[best_band]
+    any_valid = s[best_band] > NEG_INF
+
+    def emission_at(kmer_idx, event_idx):
+        emean = ev[event_idx + PAD]
+        gmean = scale * km[kmer_idx + PAD] + shift
+        a = (emean - gmean) / ks[kmer_idx + PAD]
+        return (LOG_INV_SQRT_2PI - kl[kmer_idx + PAD]
+                + jnp.float32(-0.5) * a * a)
+
+    n_bands_i = trace.shape[0]
+
+    def cond(st):
+        k, e, n, *_ = st
+        return (k >= 0) & (e >= 0) & (n < max_pairs)
+
+    def one_step(st):
+        """One masked walk step (the walk is a strict serial dependence;
+        several steps are unrolled per while iteration to amortise loop
+        overhead)."""
+        k, e, n, sum_em, gap, max_gap, last_k, dirs = st
+        active = (k >= 0) & (e >= 0) & (n < max_pairs)
+        ks_ = jnp.clip(k, 0, None)
+        es_ = jnp.clip(e, 0, None)
+        sum_em = sum_em + jnp.where(active, emission_at(ks_, es_), 0.0)
+        last_k = jnp.where(active, k, last_k)
+        bi = jnp.clip((es_ + 1) + (ks_ + 1), 0, n_bands_i - 1)
+        offset = jnp.clip(ll_event[bi] - es_, 0, PAD - 1)
+        f = trace[bi, offset].astype(jnp.uint8)
+        # inactive lanes drop their write (OOB index) and freeze state
+        dirs = dirs.at[jnp.where(active, n, max_pairs)].set(f, mode="drop")
+        is_d = f == FROM_D
+        is_u = f == FROM_U
+        k = jnp.where(active, jnp.where(is_u, k, k - 1), k)
+        e = jnp.where(active, jnp.where(is_d | is_u, e - 1, e), e)
+        gap = jnp.where(active, jnp.where(is_d | is_u, 0, gap + 1), gap)
+        max_gap = jnp.maximum(max_gap, gap)
+        n = jnp.where(active, n + 1, n)
+        return (k, e, n, sum_em, gap, max_gap, last_k, dirs)
+
+    def body(st):
+        for _ in range(8):
+            st = one_step(st)
+        return st
+
+    dirs0 = jnp.zeros(max_pairs, dtype=jnp.uint8)
+    init = (jnp.where(any_valid, n_kmers - 1, -1),
+            jnp.where(any_valid, start_event, -1),
+            jnp.int32(0), jnp.float32(0.0), jnp.int32(0), jnp.int32(0),
+            jnp.int32(-1), dirs0)
+    k, e, n, sum_em, gap, max_gap, last_k, dirs = jax.lax.while_loop(
+        cond, body, init)
+
+    avg = sum_em / jnp.maximum(n.astype(jnp.float32), 1.0)
+    spanned = (n > 0) & (last_k == 0)
+    failed = ((avg < ABEA_MIN_AVG_LOG_EMISSION) | (~spanned)
+              | (max_gap > ABEA_MAX_GAP_THRESHOLD) | (n == 0))
+    # pack 4 directions per byte (2 bits each, little-endian within byte)
+    d4 = dirs.reshape(max_pairs // 4, 4).astype(jnp.int32)
+    w = jnp.array([1, 4, 16, 64], dtype=jnp.int32)
+    packed = jnp.sum(d4 * w[None, :], axis=1).astype(jnp.uint8)
+    return packed, start_event, n, sum_em, max_gap, failed
+
+
+@functools.partial(jax.jit, static_argnames=("max_pairs",))
+def abea_backtrace_packed(fill_out, batch: AbeaBatch, max_pairs: int):
+    """Compact backtrace over the batch; max_pairs must be divisible by
+    4.  Returns (packed_dirs u8 [B, max_pairs//4], start_event i32 [B],
+    n_pairs i32 [B], sum_emission f32 [B], max_gap i32 [B],
+    failed bool [B])."""
+    trace, ll_event, ll_kmer, last_col = fill_out
+    f = jax.vmap(lambda *a: _backtrace_packed_single(*a,
+                                                     max_pairs=max_pairs))
+    return f(trace, ll_event, ll_kmer, last_col, batch.event_means,
+             batch.kmer_mean, batch.kmer_stdv, batch.kmer_log_stdv,
+             batch.n_events, batch.n_kmers, batch.scale, batch.shift,
+             batch.lp_trim)
+
+
+def decode_packed_dirs(packed_row: np.ndarray, n: int, start_event: int,
+                       n_kmers: int) -> np.ndarray:
+    """NumPy fallback for native.decode_postalign's pair reconstruction:
+    packed 2-bit walk -> ascending (kmer, event) pairs [n, 2]."""
+    nb = (n + 3) // 4
+    b = packed_row[:nb].astype(np.uint8)
+    d = np.stack([(b >> 0) & 3, (b >> 2) & 3, (b >> 4) & 3, (b >> 6) & 3],
+                 axis=1).reshape(-1)[:n]
+    is_u = d == FROM_U
+    is_d = d == FROM_D
+    dk = np.where(is_u, 0, -1)
+    de = np.where(is_u | is_d, -1, 0)
+    ks = (n_kmers - 1) + np.concatenate([[0], np.cumsum(dk[:-1])])
+    es = start_event + np.concatenate([[0], np.cumsum(de[:-1])])
+    return np.stack([ks[::-1], es[::-1]], axis=1).astype(np.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("E", "K"))
+def expand_batch_device(ev_concat, ev_off, ev_len, rank_concat, rk_off,
+                        rk_len, level_mean, level_stdv, level_log_stdv,
+                        scale, shift, lp_stay, lp_step, lp_skip, lp_trim,
+                        E: int, K: int) -> AbeaBatch:
+    """Build the padded AbeaBatch on device from flat concatenated
+    per-read arrays — the host ships ~E bytes per event instead of the
+    fully padded rows (device->host/host->device bandwidth is the scarce
+    resource on a tunnelled chip)."""
+    B = ev_off.shape[0]
+    col_e = jnp.arange(E + 2 * PAD, dtype=jnp.int32)[None, :]
+    src_e = ev_off[:, None] + (col_e - PAD)
+    mask_e = (col_e >= PAD) & (col_e < PAD + ev_len[:, None])
+    ev = jnp.where(mask_e,
+                   ev_concat[jnp.clip(src_e, 0, ev_concat.shape[0] - 1)],
+                   jnp.float32(0.0))
+    col_k = jnp.arange(K + 2 * PAD, dtype=jnp.int32)[None, :]
+    src_k = rk_off[:, None] + (col_k - PAD)
+    mask_k = (col_k >= PAD) & (col_k < PAD + rk_len[:, None])
+    rk = rank_concat[jnp.clip(src_k, 0, rank_concat.shape[0] - 1)].astype(
+        jnp.int32)
+    km = jnp.where(mask_k, level_mean[rk], jnp.float32(0.0))
+    ks = jnp.where(mask_k, level_stdv[rk], jnp.float32(1.0))
+    kl = jnp.where(mask_k, level_log_stdv[rk], jnp.float32(0.0))
+    return AbeaBatch(
+        event_means=ev, kmer_mean=km, kmer_stdv=ks, kmer_log_stdv=kl,
+        n_events=ev_len.astype(jnp.int32), n_kmers=rk_len.astype(jnp.int32),
+        scale=scale, shift=shift, lp_stay=lp_stay, lp_step=lp_step,
+        lp_skip=lp_skip, lp_trim=lp_trim)

@@ -258,51 +258,61 @@ class Pipeline:
 
         return jax.default_backend() not in ("cpu",)
 
-    def _make_abea_batch(self, todo, ranks):
-        """Padded AbeaBatch; native assembly when available."""
-        from .. import native
-        from ..ops import abea
+    def _nuc_dev_tables(self):
+        """Device-resident nucleotide model tables (cached)."""
+        if not hasattr(self, "_nuc_dev"):
+            import jax.numpy as jnp
 
-        ev = [r.event_means for r in todo]
-        E = _bucket(max(e.shape[0] for e in ev))
-        K = _bucket(max(k.shape[0] for k in ranks))
-        if not native.available():
-            dbatch = abea.make_batch(ev, ranks, self.model, pad_events=E,
-                                     pad_kmers=K,
-                                     scalings=[r.scaling for r in todo])
-            return dbatch, E, K
+            m = self.model
+            self._nuc_dev = (jnp.asarray(m.level_mean),
+                             jnp.asarray(m.level_stdv),
+                             jnp.asarray(m.level_log_stdv))
+        return self._nuc_dev
+
+    def _make_abea_batch(self, todo, ranks, E, K):
+        """Padded AbeaBatch, assembled on device from flat concat arrays
+        (compact host->device transfer)."""
         import jax.numpy as jnp
 
+        from ..constants import ABEA_EPSILON_SKIP, ABEA_LP_TRIM_P
+        from ..ops import abea
+
         B = len(todo)
-        ev_len = np.array([e.shape[0] for e in ev], np.int64)
-        ev_off = np.zeros(B, np.int64)
+        ev = [r.event_means for r in todo]
+        ev_len = np.array([e.shape[0] for e in ev], np.int32)
+        ev_off = np.zeros(B, np.int32)
         np.cumsum(ev_len[:-1], out=ev_off[1:])
         ev_concat = np.concatenate(ev).astype(np.float32, copy=False)
-        rk_len = np.array([k.shape[0] for k in ranks], np.int64)
-        rk_off = np.zeros(B, np.int64)
+        rk_len = np.array([k.shape[0] for k in ranks], np.int32)
+        rk_off = np.zeros(B, np.int32)
         np.cumsum(rk_len[:-1], out=rk_off[1:])
+        rk_dtype = np.int16 if self.model.num_kmers <= 32767 else np.int32
         rk_concat = np.ascontiguousarray(np.concatenate(ranks),
-                                         dtype=np.int32)
-        out = native.abea_assemble(
-            B, E, abea.PAD, ev_concat, ev_off, ev_len, rk_concat, rk_off,
-            rk_len, self.model,
-            np.array([r.scaling.scale for r in todo], np.float32),
-            np.array([r.scaling.shift for r in todo], np.float32), K)
-        evp, km, ks, kl, n_ev, n_km, scale, shift, lp_stay, lp_step = out
-        from ..constants import ABEA_EPSILON_SKIP, ABEA_LP_TRIM_P
-
-        dbatch = abea.AbeaBatch(
-            event_means=jnp.asarray(evp), kmer_mean=jnp.asarray(km),
-            kmer_stdv=jnp.asarray(ks), kmer_log_stdv=jnp.asarray(kl),
-            n_events=jnp.asarray(n_ev), n_kmers=jnp.asarray(n_km),
-            scale=jnp.asarray(scale), shift=jnp.asarray(shift),
-            lp_stay=jnp.asarray(lp_stay), lp_step=jnp.asarray(lp_step),
-            lp_skip=jnp.full(B, np.log(ABEA_EPSILON_SKIP), dtype=np.float32),
-            lp_trim=jnp.full(B, np.log(ABEA_LP_TRIM_P), dtype=np.float32))
-        return dbatch, E, K
+                                         dtype=rk_dtype)
+        scale = np.array([r.scaling.scale for r in todo], np.float32)
+        shift = np.array([r.scaling.shift for r in todo], np.float32)
+        epk = ev_len.astype(np.float64) / rk_len.astype(np.float64)
+        p_stay = 1.0 - 1.0 / (epk + 1.0)
+        lp_stay = np.log(p_stay).astype(np.float32)
+        lp_step = np.log(1.0 - ABEA_EPSILON_SKIP - p_stay).astype(np.float32)
+        lp_skip = np.full(B, np.log(ABEA_EPSILON_SKIP), dtype=np.float32)
+        lp_trim = np.full(B, np.log(ABEA_LP_TRIM_P), dtype=np.float32)
+        lm, ls, ll = self._nuc_dev_tables()
+        return abea.expand_batch_device(
+            jnp.asarray(ev_concat), jnp.asarray(ev_off),
+            jnp.asarray(ev_len), jnp.asarray(rk_concat),
+            jnp.asarray(rk_off), jnp.asarray(rk_len), lm, ls, ll,
+            jnp.asarray(scale), jnp.asarray(shift), jnp.asarray(lp_stay),
+            jnp.asarray(lp_step), jnp.asarray(lp_skip),
+            jnp.asarray(lp_trim), E=E, K=K)
 
     def align_batch(self, batch: list[ReadRecord]):
-        """ABEA on device for all loadable reads; fills pairs + scaling."""
+        """ABEA on device for all loadable reads; fills pairs + scaling.
+
+        Device output is the compact backtrace contract (packed 2-bit walk
+        + start cell + QC scalars); pairs are reconstructed host-side in
+        the native postalign pass.
+        """
         from .. import native
         from ..ops import abea
 
@@ -320,19 +330,26 @@ class Pipeline:
         if native.available():
             ranks = [native.kmer_ranks(r.seq, self.model.k) for r in todo]
         else:
-            ranks = [self.model.kmer_ranks(r.seq) for r in todo]
-        dbatch, E, K = self._make_abea_batch(todo, ranks)
+            ranks = [self.model.kmer_ranks(r.seq).astype(np.int32)
+                     for r in todo]
+        E = _bucket(max(r.event_means.shape[0] for r in todo))
+        K = _bucket(max(k.shape[0] for k in ranks))
+        dbatch = self._make_abea_batch(todo, ranks, E, K)
         n_bands = E + K + 2
+        max_pairs = E + K
         if self._use_pallas():
-            from ..ops.abea_pallas import align_batch_pallas
+            from ..ops.abea_pallas import (CHUNK, abea_fill_pallas,
+                                           make_ev_rev, unpack_sideband)
 
-            pk, pe, n, sum_em, max_gap, failed = align_batch_pallas(
-                dbatch, n_bands=n_bands, max_pairs=E + K)
+            nb = ((n_bands + CHUNK - 1) // CHUNK) * CHUNK
+            trace = abea_fill_pallas(dbatch, make_ev_rev(dbatch), nb)
+            fill_out = (trace,) + tuple(unpack_sideband(trace))
         else:
-            pk, pe, n, sum_em, max_gap, failed = abea.align_batch(
-                dbatch, n_bands=n_bands, max_pairs=E + K)
-        pk = np.asarray(pk)
-        pe = np.asarray(pe)
+            fill_out = abea.abea_fill(dbatch, n_bands)
+        packed, start_e, n, sum_em, max_gap, failed = (
+            abea.abea_backtrace_packed(fill_out, dbatch, max_pairs))
+        packed = np.asarray(packed)
+        start_e = np.asarray(start_e)
         n = np.asarray(n)
         failed = np.asarray(failed)
         self.stage_time["align"] += time.time() - t0
@@ -342,24 +359,26 @@ class Pipeline:
             if failed[i] or n[i] == 0:
                 r.status |= FAILED_ALIGNMENT
                 continue
-            ni = int(n[i])
-            pairs = np.stack([pk[i, :ni][::-1], pe[i, :ni][::-1]], axis=1)
-            r.pairs = pairs
-            self._postalign_one(r, ranks[i], pairs)
+            self._postalign_one(r, ranks[i], packed[i], int(n[i]),
+                                int(start_e[i]))
         self.stage_time["scaling"] += time.time() - t0
 
     def _postalign_one(self, r: ReadRecord, rks: np.ndarray,
-                       pairs: np.ndarray):
+                       packed_dirs: np.ndarray, n: int, start_event: int):
         from .. import native
+        from ..ops import abea
 
         n_kmers = len(r.seq) - self.model.k + 1
         if native.available():
-            ok, b2e_start, b2e_stop, epb, rc = native.postalign_recalibrate(
-                pairs, rks, r.event_means, self.model.level_mean,
-                self.model.level_stdv, self.opt.min_num_events_to_rescale)
+            ok, pairs, b2e_start, b2e_stop, epb, rc = native.decode_postalign(
+                packed_dirs, n, start_event, rks, r.event_means,
+                self.model.level_mean, self.model.level_stdv,
+                self.opt.min_num_events_to_rescale)
         else:
             from ..ops.scaling import postalign_np, recalibrate_np
 
+            pairs = abea.decode_packed_dirs(packed_dirs, n, start_event,
+                                            n_kmers)
             post = postalign_np(pairs, rks, n_kmers)
             ok, rc = recalibrate_np(
                 self.model.level_mean, self.model.level_stdv, rks,
@@ -367,6 +386,7 @@ class Pipeline:
             b2e_start = post.base_to_event_start
             b2e_stop = post.base_to_event_stop
             epb = post.events_per_base
+        r.pairs = pairs
         if not ok or rc.var > MIN_CALIBRATION_VAR:
             r.status |= FAILED_CALIBRATION
             return
