@@ -43,6 +43,37 @@ class BamRecord:
     cigar: list[tuple[int, int]]   # (op, length)
     l_seq: int
     _seq_packed: bytes
+    _aux: bytes = b""
+
+    def aux_int(self, tag: str, default: int = 0) -> int:
+        """Integer aux field (e.g. NM), htslib bam_aux2i semantics."""
+        data = self._aux
+        t = tag.encode()
+        i = 0
+        n = len(data)
+        sizes = {ord("c"): 1, ord("C"): 1, ord("s"): 2, ord("S"): 2,
+                 ord("i"): 4, ord("I"): 4, ord("f"): 4, ord("d"): 8,
+                 ord("A"): 1}
+        fmts = {ord("c"): "<b", ord("C"): "<B", ord("s"): "<h",
+                ord("S"): "<H", ord("i"): "<i", ord("I"): "<I"}
+        while i + 3 <= n:
+            this = data[i:i + 2]
+            typ = data[i + 2]
+            i += 3
+            if typ in sizes:
+                if this == t and typ in fmts:
+                    return struct.unpack(fmts[typ], data[i:i + sizes[typ]])[0]
+                i += sizes[typ]
+            elif typ in (ord("Z"), ord("H")):
+                j = data.index(b"\x00", i)
+                i = j + 1
+            elif typ == ord("B"):
+                sub = data[i]
+                cnt = struct.unpack("<i", data[i + 1:i + 5])[0]
+                i += 5 + sizes.get(sub, 1) * cnt
+            else:
+                break
+        return default
 
     @property
     def is_unmapped(self) -> bool:
@@ -126,6 +157,7 @@ class BamReader:
             cigar = [(c & 0xF, c >> 4) for c in cig_raw]
             p += 4 * n_cig
             seq_packed = rec[p : p + (l_seq + 1) // 2]
+            p += (l_seq + 1) // 2 + l_seq   # skip qual
             yield BamRecord(
                 qname=qname,
                 flag=flag,
@@ -135,6 +167,7 @@ class BamReader:
                 cigar=cigar,
                 l_seq=l_seq,
                 _seq_packed=seq_packed,
+                _aux=rec[p:],
             )
 
 

@@ -78,6 +78,11 @@ def _declare(lib):
         _i32p, _i32p, _i64, _i32p, _i64, _f32p, _f32p, _f32p, _i64,
         _i32p, _i32p, ctypes.POINTER(ctypes.c_double),
         ctypes.POINTER(_f32), ctypes.POINTER(_f32), ctypes.POINTER(_f32)]
+    lib.f5c_viterbi_chunk.restype = _i64
+    lib.f5c_viterbi_chunk.argtypes = [
+        _i32p, _i64, _i64, _f32p, _i64, _int, _i64,
+        _f32, _f32, _f32, ctypes.c_double,
+        _f32p, _f32p, _f32p, _u8p]
     lib.f5c_decode_postalign.restype = _int
     lib.f5c_decode_postalign.argtypes = [
         _u8p, _i64, _i64, _i32p, _i64, _f32p, _f32p, _f32p, _i64,
@@ -211,6 +216,31 @@ def postalign_recalibrate(pairs: np.ndarray, ranks: np.ndarray,
     sc = Scalings(shift=float(shift.value), scale=float(scale.value),
                   var=float(var.value)) if ok else Scalings()
     return bool(ok), b2e_start, b2e_stop, float(epb.value), sc
+
+
+def viterbi_chunk(ranks: np.ndarray, rank_start: int, rank_stride: int,
+                  n_kmers: int, ev_pool: np.ndarray, e_start: int,
+                  stride: int, n_events: int, scale: float, shift: float,
+                  var: float, events_per_base: float, level_mean,
+                  level_stdv, level_log_stdv):
+    """One eventalign chunk Viterbi on the host; returns movements u8
+    (walk order, device contract) of length n_steps."""
+    lib = get_lib()
+    movs = np.empty(n_events + n_kmers + 4, dtype=np.uint8)
+    # materialise the (tiny) window contiguously; C walks stride 1
+    if rank_stride == 1:
+        rview = np.ascontiguousarray(ranks[rank_start:rank_start + n_kmers],
+                                     dtype=np.int32)
+    else:
+        rview = np.ascontiguousarray(
+            ranks[rank_start - n_kmers + 1:rank_start + 1][::-1],
+            dtype=np.int32)
+    n = lib.f5c_viterbi_chunk(
+        rview, 1, n_kmers,
+        np.ascontiguousarray(ev_pool, dtype=np.float32), e_start, stride,
+        n_events, scale, shift, var, events_per_base,
+        level_mean, level_stdv, level_log_stdv, movs)
+    return movs[:n]
 
 
 def decode_postalign(packed_dirs: np.ndarray, n: int, start_event: int,

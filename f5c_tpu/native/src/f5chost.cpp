@@ -631,6 +631,132 @@ void f5c_hmm_assemble(
   }
 }
 
+// ---------------------------------------------------------------------------
+// Chunk Viterbi for eventalign (reference src/hmm.c:313-533 with the
+// ProfileHMMViterbiOutputR9 policy + src/eventalign.c:625-920 backtrace).
+// The device kernel (ops/hmm.py hmm_viterbi_rounds) is the batched path;
+// this host version serves lockstep rounds with few active reads, where
+// the tunnelled chip's dispatch latency exceeds the compute.
+// Movements are emitted in walk order (same contract as the device).
+// ---------------------------------------------------------------------------
+
+enum { VHMT_SAME_M = 0, VHMT_PREV_M, VHMT_SAME_B, VHMT_PREV_B,
+       VHMT_PREV_K, VHMT_SOFT };
+enum { VPS_K = 0, VPS_B = 1, VPS_M = 2 };
+
+int64_t f5c_viterbi_chunk(
+    const int32_t* ranks, int64_t rank_stride, int64_t n_kmers,
+    const float* ev_pool, int64_t e_start, int stride, int64_t n_events,
+    float scale, float shift, float var, double events_per_base,
+    const float* level_mean, const float* level_stdv,
+    const float* level_log_stdv,
+    uint8_t* movements_out) {
+  const float NEGINF = -INFINITY;
+  int64_t n_rows = n_events + 1;
+  int64_t n_states = 3 * (n_kmers + 2);
+  std::vector<float> vm(n_rows * n_states, NEGINF);
+  std::vector<uint8_t> bm(n_rows * n_states, 0);
+
+  // block transitions (hmm.c:237-307), identical for every block
+  float p_stay = (float)(1.0 - (1.0 / events_per_base));
+  float p_skip = 0.0025f, p_bad = 0.001f, p_skip_self = 0.3f;
+  float lp_mk = logf(p_skip);
+  float lp_mb = logf(p_bad);
+  float lp_mm_self = logf(p_stay);
+  float lp_mm_next = logf(1.0f - p_stay - p_skip - p_bad);
+  float lp_bb = logf(p_bad);
+  float lp_b3 = logf((1.0f - p_bad) / 3);
+  float lp_kk = logf(p_skip_self);
+  float lp_km = logf(1.0f - p_skip_self);
+  const float LOG_INV_SQRT_2PI = -0.918938f;
+  float log_var = logf(var);
+  const float pre0 = logf(0.5f);  // pre_flank[0] = log(1 - 0.5)
+
+  // per-kmer scaled gaussians (division like the reference, not
+  // reciprocal-multiply, for exact emission parity)
+  std::vector<float> gm(n_kmers), gs(n_kmers), gl(n_kmers);
+  for (int64_t ki = 0; ki < n_kmers; ki++) {
+    int32_t r = ranks[ki * rank_stride];
+    gm[ki] = scale * level_mean[r] + shift;
+    gs[ki] = level_stdv[r] * var;
+    gl[ki] = level_log_stdv[r] + log_var;
+  }
+
+  for (int64_t row = 1; row < n_rows; row++) {
+    float* curr = vm.data() + row * n_states;
+    const float* prev = vm.data() + (row - 1) * n_states;
+    uint8_t* bmr = bm.data() + row * n_states;
+    float e = ev_pool[e_start + (row - 1) * stride];
+    for (int64_t block = 1; block <= n_kmers; block++) {
+      int64_t ki = block - 1;
+      int64_t po = 3 * (block - 1), co = 3 * block;
+      float a = (e - gm[ki]) / gs[ki];
+      float lp_em = LOG_INV_SQRT_2PI - gl[ki] + (-0.5f * a * a);
+
+      // MATCH: scores in HMT order; LAST equal index wins
+      float s[6];
+      s[0] = lp_mm_self + prev[co + VPS_M];
+      s[1] = lp_mm_next + prev[po + VPS_M];
+      s[2] = lp_b3 + prev[co + VPS_B];
+      s[3] = lp_b3 + prev[po + VPS_B];
+      s[4] = lp_km + prev[po + VPS_K];
+      s[5] = (ki == 0 && row == 1) ? pre0 : NEGINF;
+      float mx = s[0];
+      uint8_t frm = 0;
+      for (int i = 1; i < 6; i++) {
+        if (s[i] > mx) mx = s[i];
+        if (mx == s[i]) frm = (uint8_t)i;
+      }
+      curr[co + VPS_M] = mx + lp_em;
+      bmr[co + VPS_M] = frm;
+
+      // BAD_EVENT (emission 0); SAME_B wins ties over SAME_M
+      float b_m = lp_mb + prev[co + VPS_M];
+      float b_b = lp_bb + prev[co + VPS_B];
+      if (b_b >= b_m) {
+        curr[co + VPS_B] = b_b;
+        bmr[co + VPS_B] = VHMT_SAME_B;
+      } else {
+        curr[co + VPS_B] = b_m;
+        bmr[co + VPS_B] = VHMT_SAME_M;
+      }
+
+      // KMER_SKIP: same row, previous block; PREV_K > PREV_B > PREV_M
+      float s1 = lp_mk + curr[po + VPS_M];
+      float s2 = lp_b3 + curr[po + VPS_B];
+      float s3 = lp_kk + curr[po + VPS_K];
+      float kmx = s1;
+      uint8_t kf = VHMT_PREV_M;
+      if (s2 >= kmx) { kmx = s2; kf = VHMT_PREV_B; }
+      if (s3 >= kmx) { kmx = s3; kf = VHMT_PREV_K; }
+      curr[co + VPS_K] = kmx;
+      bmr[co + VPS_K] = kf;
+    }
+  }
+
+  // backtrace from (last row, MATCH of last kmer block)
+  int64_t n = 0;
+  int64_t row = n_rows - 1;
+  int64_t col = 3 * n_kmers + VPS_M;
+  while (row > 0) {
+    int ps = (int)(col % 3);
+    int64_t block = col / 3;
+    int64_t kmer_idx = block - 1;
+    uint8_t mv = bm[row * n_states + col];
+    movements_out[n++] = mv;
+    if (mv == VHMT_SOFT) break;
+    if (mv == VHMT_PREV_M || mv == VHMT_PREV_B || mv == VHMT_PREV_K) {
+      kmer_idx -= 1;
+    }
+    int next_ps = (mv == VHMT_SAME_M || mv == VHMT_PREV_M) ? VPS_M
+                  : (mv == VHMT_SAME_B || mv == VHMT_PREV_B) ? VPS_B
+                  : VPS_K;
+    if (ps != VPS_K) row -= 1;
+    col = 3 * (kmer_idx + 1) + next_ps;
+  }
+  return n;
+}
+
 // Decode a packed 2-bit backtrace walk (4 direction codes per byte,
 // little-endian within the byte; 0=diag, 1=up, 2=left) into ascending
 // aligned pairs, then postalign + recalibrate in the same pass.  This is

@@ -223,6 +223,238 @@ def hmm_forward_batch(batch: HmmBatch, pad_events: int,
              batch.lp_stay, batch.lp_step)
 
 
+# --- Viterbi (eventalign re-alignment) -------------------------------------
+#
+# Same 3-state-per-kmer profile HMM in the max-plus semiring, plus movement
+# tracking for the backtrace (reference src/hmm.c:313-533 with the
+# ProfileHMMViterbiOutputR9 policy; oracle ops/hmm_ref.profile_hmm_viterbi).
+# hmm_flags = 0 (eventalign.c:765): no pre/post soft clip, so the start
+# transition is only allowed into row 1 and the backtrace starts at the
+# fixed cell (last event row, MATCH state of the last kmer).
+
+HMT_FROM_SAME_M = 0
+HMT_FROM_PREV_M = 1
+HMT_FROM_SAME_B = 2
+HMT_FROM_PREV_B = 3
+HMT_FROM_PREV_K = 4
+HMT_FROM_SOFT = 5
+
+# next profile state per movement code: M, M, B, B, K
+_NEXT_PS = (2, 2, 1, 1, 0)
+
+
+def _viterbi_single(gp_mean, gp_inv, gp_log, ev_window, n_kmers, n_events,
+                    lp_stay, lp_step, pad_events: int, max_path: int):
+    """One Viterbi fill + backtrace; returns (movements u8 [max_path],
+    n_steps).  Movements are the reference's HMT codes along the walk from
+    (row=n_events, kmer=n_kmers-1, state=M); the host reconstructs
+    (event_idx, kmer_idx, state) from them."""
+    K_pad = gp_mean.shape[0]
+    kidx = jnp.arange(K_pad)
+    LP_SM = jnp.float32(0.0)
+    PRE0 = jnp.float32(_LP_NSC)   # pre_flank[0]
+
+    def step(carry, row_minus_1):
+        M, B, K = carry
+        e = ev_window[row_minus_1]
+        a = (e - gp_mean) * gp_inv
+        lp_em = LOG_INV_SQRT_2PI - gp_log + jnp.float32(-0.5) * a * a
+
+        Mp = _shift_prev(M)
+        Bp = _shift_prev(B)
+        Kp = _shift_prev(K)
+
+        # MATCH: last equal index wins (hmm.c update_cell tie rule)
+        s0 = lp_stay + M                      # FROM_SAME_M
+        s1 = lp_step + Mp                     # FROM_PREV_M
+        s2 = jnp.float32(_LP_B3) + B          # FROM_SAME_B
+        s3 = jnp.float32(_LP_B3) + Bp         # FROM_PREV_B
+        s4 = jnp.float32(_LP_KM) + Kp         # FROM_PREV_K
+        s5 = jnp.where((kidx == 0) & (row_minus_1 == 0),
+                       LP_SM + PRE0, NEG_INF)  # FROM_SOFT (row 1 only)
+        mx = jnp.maximum(jnp.maximum(jnp.maximum(s0, s1),
+                                     jnp.maximum(s2, s3)),
+                         jnp.maximum(s4, s5))
+        frm_m = jnp.zeros(K_pad, dtype=jnp.uint8)
+        for i, s in enumerate((s1, s2, s3, s4, s5)):
+            frm_m = jnp.where(s == mx, jnp.uint8(i + 1), frm_m)
+        m_new = mx + lp_em
+
+        # BAD_EVENT (emission 0): SAME_B wins ties over SAME_M
+        b_m = jnp.float32(_LP_MB) + M
+        b_b = jnp.float32(_LP_BB) + B
+        b_new = jnp.maximum(b_m, b_b)
+        frm_b = jnp.where(b_b == b_new, jnp.uint8(HMT_FROM_SAME_B),
+                          jnp.uint8(HMT_FROM_SAME_M))
+
+        # KMER_SKIP chain within the row (max-plus linear recurrence):
+        # K_i = max(c_i, K_{i-1} + lp_kk), closed form via cummax
+        c = jnp.maximum(jnp.float32(_LP_MK) + _shift_prev(m_new),
+                        jnp.float32(_LP_B3) + _shift_prev(b_new))
+        g = jnp.float32(_LP_KK)
+        i_f = kidx.astype(jnp.float32)
+        d = c - i_f * g
+        m_run = jax.lax.cummax(d)
+        k_new = i_f * g + m_run
+        # movement ties (PREV_K > PREV_B > PREV_M) decided in d-space,
+        # where the chain-vs-fresh comparison is exact: the chain wins
+        # iff the running max predates this column (>= on ties)
+        from_chain = _shift_prev(m_run) >= d
+        from_b = (jnp.float32(_LP_B3) + _shift_prev(b_new)) == c
+        frm_k = jnp.where(from_chain, jnp.uint8(HMT_FROM_PREV_K),
+                          jnp.where(from_b, jnp.uint8(HMT_FROM_PREV_B),
+                                    jnp.uint8(HMT_FROM_PREV_M)))
+
+        active = row_minus_1 < n_events
+        M = jnp.where(active, m_new, M)
+        B = jnp.where(active, b_new, B)
+        K = jnp.where(active, k_new, K)
+        movs = jnp.stack([frm_k, frm_b, frm_m])   # [3, K_pad], PSR9 order
+        return (M, B, K), movs
+
+    init = (jnp.full(K_pad, NEG_INF), jnp.full(K_pad, NEG_INF),
+            jnp.full(K_pad, NEG_INF))
+    _, bm = jax.lax.scan(step, init,
+                         jnp.arange(pad_events, dtype=jnp.int32))
+    # bm: [pad_events, 3, K_pad] — bm[row-1, ps, kmer]
+
+    next_ps = jnp.array(_NEXT_PS + (0,), dtype=jnp.int32)
+
+    def cond(st):
+        row, kmer, ps, n, done = st[:5]
+        return (row > 0) & (n < max_path) & (~done)
+
+    def body(st):
+        row, kmer, ps, n, done, out = st
+        mv = bm[row - 1, ps, jnp.clip(kmer, 0, K_pad - 1)]
+        out = out.at[n].set(mv)
+        done = mv == HMT_FROM_SOFT
+        mv_i = mv.astype(jnp.int32)
+        dec_k = (mv_i == HMT_FROM_PREV_M) | (mv_i == HMT_FROM_PREV_B) | (
+            mv_i == HMT_FROM_PREV_K)
+        kmer = jnp.where(done, kmer, kmer - dec_k.astype(jnp.int32))
+        row = jnp.where(done | (ps == 0), row, row - 1)
+        ps = next_ps[jnp.clip(mv_i, 0, 5)]
+        return (row, kmer, ps, n + 1, done, out)
+
+    out0 = jnp.zeros(max_path, dtype=jnp.uint8)
+    st = (n_events, n_kmers - 1, jnp.int32(2), jnp.int32(0),
+          jnp.bool_(False), out0)
+    row, kmer, ps, n, done, out = jax.lax.while_loop(cond, body, st)
+    return out, n
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("pad_events", "max_path"))
+def hmm_viterbi_packed(ranks, n_kmers, ev_concat, ev_start, ev_stride,
+                       n_events, scale, shift, var, lp_stay, lp_step,
+                       level_mean, level_stdv, level_log_stdv,
+                       pad_events: int, max_path: int):
+    """Batched Viterbi with device-side input assembly (same compact
+    contract as hmm_forward_packed).  Returns (movements u8 [N, max_path],
+    n_steps i32 [N])."""
+    r = ranks.astype(jnp.int32)
+    gp_mean = scale[:, None] * level_mean[r] + shift[:, None]
+    sd = level_stdv[r] * var[:, None]
+    gp_inv = jnp.float32(1.0) / sd
+    gp_log = level_log_stdv[r] + jnp.log(var)[:, None]
+    rows = jnp.arange(pad_events, dtype=jnp.int32)
+    idx = ev_start[:, None] + rows[None, :] * ev_stride[:, None]
+    idx = jnp.clip(idx, 0, ev_concat.shape[0] - 1)
+    ev = ev_concat[idx]
+    f = jax.vmap(lambda *a: _viterbi_single(*a, pad_events=pad_events,
+                                            max_path=max_path))
+    return f(gp_mean, gp_inv, gp_log, ev, n_kmers, n_events, lp_stay,
+             lp_step)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("pad_events", "pad_k", "max_path"))
+def hmm_viterbi_rounds(spec_i32, spec_f32, rank_pool, ev_pool,
+                       level_mean, level_stdv, level_log_stdv,
+                       pad_events: int, pad_k: int, max_path: int):
+    """Lockstep-round Viterbi for eventalign: the per-read rank/event
+    pools stay device-resident across rounds; each round ships only two
+    small spec arrays and receives movements packed 2-per-byte (the
+    tunnelled chip's transfer latency dominates the round time).
+
+    spec_i32 [N, 6]: rank_start, rank_stride, n_kmers, ev_start,
+    ev_stride, n_events.  spec_f32 [N, 5]: scale, shift, var, lp_stay,
+    lp_step.  Returns (packed movements u8 [N, max_path//2], n_steps).
+    """
+    rank_start = spec_i32[:, 0]
+    rank_stride = spec_i32[:, 1]
+    n_kmers = spec_i32[:, 2]
+    ev_start = spec_i32[:, 3]
+    ev_stride = spec_i32[:, 4]
+    n_events = spec_i32[:, 5]
+    scale = spec_f32[:, 0]
+    shift = spec_f32[:, 1]
+    var = spec_f32[:, 2]
+    lp_stay = spec_f32[:, 3]
+    lp_step = spec_f32[:, 4]
+
+    cols = jnp.arange(pad_k, dtype=jnp.int32)
+    ridx = rank_start[:, None] + cols[None, :] * rank_stride[:, None]
+    ridx = jnp.clip(ridx, 0, rank_pool.shape[0] - 1)
+    r = rank_pool[ridx].astype(jnp.int32)
+    r = jnp.where(cols[None, :] < n_kmers[:, None], r, 0)
+
+    gp_mean = scale[:, None] * level_mean[r] + shift[:, None]
+    sd = level_stdv[r] * var[:, None]
+    gp_inv = jnp.float32(1.0) / sd
+    gp_log = level_log_stdv[r] + jnp.log(var)[:, None]
+    rows = jnp.arange(pad_events, dtype=jnp.int32)
+    eidx = ev_start[:, None] + rows[None, :] * ev_stride[:, None]
+    eidx = jnp.clip(eidx, 0, ev_pool.shape[0] - 1)
+    ev = ev_pool[eidx]
+    f = jax.vmap(lambda *a: _viterbi_single(*a, pad_events=pad_events,
+                                            max_path=max_path))
+    movs, n_steps = f(gp_mean, gp_inv, gp_log, ev, n_kmers, n_events,
+                      lp_stay, lp_step)
+    # pack two 3-bit movement codes per byte for the D2H copy
+    m2 = movs.reshape(movs.shape[0], max_path // 2, 2)
+    packed = (m2[..., 0] | (m2[..., 1] << 3)).astype(jnp.uint8)
+    return packed, n_steps
+
+
+def unpack_movements(packed_row: np.ndarray, n_steps: int) -> np.ndarray:
+    """Host-side unpack of hmm_viterbi_rounds' 2-per-byte movements."""
+    b = packed_row[: (n_steps + 1) // 2]
+    out = np.empty(2 * b.shape[0], dtype=np.uint8)
+    out[0::2] = b & 7
+    out[1::2] = b >> 3
+    return out[:n_steps]
+
+
+def decode_viterbi_movements(movs: np.ndarray, n_steps: int, e_start: int,
+                             event_stride: int, n_events: int,
+                             n_kmers: int):
+    """Reconstruct the reference's HMMAlignmentState list from the walk.
+
+    Returns (event_idx, kmer_idx, state u8 0=K/1=B/2=M) arrays in FORWARD
+    path order (the walk is reversed, eventalign.c:905).  Vectorised.
+    """
+    if n_steps == 0:
+        z = np.zeros(0, np.int64)
+        return z, z, z.astype(np.uint8)
+    mv = movs[:n_steps].astype(np.int64)
+    next_ps = np.array(_NEXT_PS + (0,), dtype=np.int64)
+    # state at step i: ps_0 = M; ps_{i+1} = next_ps[mv_i]
+    ps = np.empty(n_steps, dtype=np.int64)
+    ps[0] = 2
+    ps[1:] = next_ps[mv[:-1]]
+    dec_k = ((mv == HMT_FROM_PREV_M) | (mv == HMT_FROM_PREV_B)
+             | (mv == HMT_FROM_PREV_K)).astype(np.int64)
+    kmer_idx = (n_kmers - 1) - (np.cumsum(dec_k) - dec_k)
+    # row decrements when the visited state is not KMER_SKIP (silent)
+    dec_r = (ps != 0).astype(np.int64)
+    row = n_events - (np.cumsum(dec_r) - dec_r)
+    event_idx = e_start + (row - 1) * event_stride
+    return (event_idx[::-1].copy(), kmer_idx[::-1].copy(),
+            ps[::-1].astype(np.uint8))
+
+
 @functools.partial(jax.jit,
                    static_argnames=("pad_events", "allow_pre", "allow_post"))
 def hmm_forward_packed(ranks, n_kmers, ev_concat, ev_start, ev_stride,

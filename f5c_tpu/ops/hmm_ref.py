@@ -192,3 +192,140 @@ def profile_hmm_score(m_seq: str, m_rc_seq: str, event_means: np.ndarray,
                 lp_end = np.logaddexp(lp_end, K[-1] + pf)
 
     return float(lp_end)
+
+
+# --- Viterbi (eventalign re-alignment) --------------------------------------
+#
+# Loop-faithful port of the reference's Viterbi fill + backtrace
+# (profile_hmm_fill_generic_r9 with ProfileHMMViterbiOutputR9,
+# src/hmm.c:313-533 + src/eventalign.c:625-920).  This is the oracle for
+# the batched device kernel in ops/hmm.py.
+
+# movement codes (hmm.c:124-133)
+HMT_FROM_SAME_M = 0
+HMT_FROM_PREV_M = 1
+HMT_FROM_SAME_B = 2
+HMT_FROM_PREV_B = 3
+HMT_FROM_PREV_K = 4
+HMT_FROM_SOFT = 5
+
+# state indices within a block (hmm.c:115-121)
+PSR9_KMER_SKIP = 0
+PSR9_BAD_EVENT = 1
+PSR9_MATCH = 2
+
+
+def profile_hmm_viterbi(m_seq: str, m_rc_seq: str, event_means: np.ndarray,
+                        scaling, model: PoreModel, e_start: int, e_end: int,
+                        event_stride: int, rc: bool,
+                        events_per_base: float, hmm_flags: int = 0):
+    """Viterbi alignment of an event window to a sequence window.
+
+    Returns a list of (event_idx, kmer_idx, state_char) in forward order —
+    the reference's HMMAlignmentState vector (eventalign.c:818-916).
+    """
+    k = model.k
+    n_kmers = len(m_seq) - k + 1
+    n_events = abs(e_end - e_start) + 1
+    n_rows = n_events + 1
+    n_states = 3 * (n_kmers + 2)
+
+    ranks = window_kmer_ranks(m_seq, m_rc_seq, rc, model)
+    t = block_transitions(events_per_base)
+    pre_flank, post_flank = make_flanks(n_events)
+
+    scale32 = np.float32(scaling.scale)
+    shift32 = np.float32(scaling.shift)
+    var32 = np.float32(scaling.var)
+    log_var32 = np.float32(np.log(var32))
+    gp_mean = scale32 * model.level_mean[ranks] + shift32
+    gp_stdv = model.level_stdv[ranks] * var32
+    gp_log_stdv = model.level_log_stdv[ranks] + log_var32
+
+    allow_pre = bool(hmm_flags & HAF_ALLOW_PRE_CLIP)
+
+    vm = np.full((n_rows, n_states), NEG_INF, dtype=np.float32)
+    bm = np.zeros((n_rows, n_states), dtype=np.uint8)
+
+    def cell(row, block, state):
+        return vm[row, 3 * block + state]
+
+    with np.errstate(invalid="ignore", over="ignore"):
+        for row in range(1, n_rows):
+            event_idx = e_start + (row - 1) * event_stride
+            ev = np.float32(event_means[event_idx])
+            for block in range(1, n_kmers + 1):
+                kmer_idx = block - 1
+                a = (ev - gp_mean[kmer_idx]) / gp_stdv[kmer_idx]
+                lp_em_m = np.float32(
+                    LOG_INV_SQRT_2PI - gp_log_stdv[kmer_idx]
+                    + np.float32(-0.5) * a * a)
+                prev_off = 3 * (block - 1)
+                curr_off = 3 * block
+
+                # MATCH
+                scores = np.array([
+                    t["lp_mm_self"] + vm[row - 1, curr_off + PSR9_MATCH],
+                    t["lp_mm_next"] + vm[row - 1, prev_off + PSR9_MATCH],
+                    t["lp_bm_self"] + vm[row - 1, curr_off + PSR9_BAD_EVENT],
+                    t["lp_bm_next"] + vm[row - 1, prev_off + PSR9_BAD_EVENT],
+                    t["lp_km"] + vm[row - 1, prev_off + PSR9_KMER_SKIP],
+                    pre_flank[row - 1]
+                    if kmer_idx == 0 and (event_idx == e_start or allow_pre)
+                    else NEG_INF,
+                ], dtype=np.float32)
+                mx = scores.max()
+                frm = np.nonzero(scores == mx)[0][-1]  # last equal wins
+                vm[row, curr_off + PSR9_MATCH] = mx + lp_em_m
+                bm[row, curr_off + PSR9_MATCH] = frm
+
+                # BAD_EVENT (emission penalty 0)
+                s_m = t["lp_mb"] + vm[row - 1, curr_off + PSR9_MATCH]
+                s_b = t["lp_bb"] + vm[row - 1, curr_off + PSR9_BAD_EVENT]
+                if s_b >= s_m:
+                    vm[row, curr_off + PSR9_BAD_EVENT] = s_b
+                    bm[row, curr_off + PSR9_BAD_EVENT] = HMT_FROM_SAME_B
+                else:
+                    vm[row, curr_off + PSR9_BAD_EVENT] = s_m
+                    bm[row, curr_off + PSR9_BAD_EVENT] = HMT_FROM_SAME_M
+
+                # KMER_SKIP (same row, previous block; silent)
+                s1 = t["lp_mk"] + vm[row, prev_off + PSR9_MATCH]
+                s2 = t["lp_bk"] + vm[row, prev_off + PSR9_BAD_EVENT]
+                s3 = t["lp_kk"] + vm[row, prev_off + PSR9_KMER_SKIP]
+                mx = max(s1, s2, s3)
+                if s3 == mx:
+                    frm = HMT_FROM_PREV_K
+                elif s2 == mx:
+                    frm = HMT_FROM_PREV_B
+                else:
+                    frm = HMT_FROM_PREV_M
+                vm[row, curr_off + PSR9_KMER_SKIP] = mx
+                bm[row, curr_off + PSR9_KMER_SKIP] = frm
+
+    # backtrace from the last event row, MATCH state of the last kmer block
+    # (eventalign.c:824-916); walk until row 0 or a FROM_SOFT movement
+    alignment = []
+    row = n_rows - 1
+    col = 3 * n_kmers + PSR9_MATCH
+    while row > 0:
+        event_idx = e_start + (row - 1) * event_stride
+        block = col // 3
+        kmer_idx = block - 1
+        curr_ps = col % 3
+        state_char = "KBM"[curr_ps]
+        alignment.append((event_idx, kmer_idx, state_char))
+        movement = bm[row, col]
+        if movement == HMT_FROM_SOFT:
+            break
+        if movement in (HMT_FROM_PREV_M, HMT_FROM_PREV_B, HMT_FROM_PREV_K):
+            kmer_idx -= 1
+        next_ps = {HMT_FROM_SAME_M: PSR9_MATCH, HMT_FROM_PREV_M: PSR9_MATCH,
+                   HMT_FROM_SAME_B: PSR9_BAD_EVENT,
+                   HMT_FROM_PREV_B: PSR9_BAD_EVENT,
+                   HMT_FROM_PREV_K: PSR9_KMER_SKIP}[int(movement)]
+        if curr_ps != PSR9_KMER_SKIP:
+            row -= 1
+        col = 3 * (kmer_idx + 1) + next_ps
+    alignment.reverse()
+    return alignment

@@ -69,6 +69,10 @@ class ReadRecord:
     cigar: list
     is_reverse: bool
     seq: str
+    flag: int = 0
+    mapq: int = 60
+    nm: int = 0
+    nsample: int = 0
     event_means: np.ndarray | None = None
     n_events: int = 0
     scaling: object = None
@@ -136,6 +140,7 @@ def _worker_load(args):
     return qname, dict(
         event_means=means, scaling=sc, sample_rate=sig.sample_rate,
         event_starts=starts, event_lengths=lengths, event_stdvs=stdvs,
+        nsample=sig.nsample,
         raw_pa=pa if keep_raw else None,
     )
 
@@ -217,6 +222,8 @@ class Pipeline:
                 batch.append(ReadRecord(
                     qname=rec.qname, read_idx=idx, tid=rec.tid, pos=rec.pos,
                     cigar=rec.cigar, is_reverse=rec.is_reverse, seq=seq,
+                    flag=rec.flag, mapq=rec.mapq,
+                    nm=rec.aux_int("NM") if hasattr(rec, "aux_int") else 0,
                     signal_path=path))
                 bases += len(seq)
                 if len(batch) >= opt.batch_reads or bases >= opt.batch_bases:
@@ -246,6 +253,7 @@ class Pipeline:
             r.event_starts = data["event_starts"]
             r.event_lengths = data["event_lengths"]
             r.event_stdvs = data["event_stdvs"]
+            r.nsample = data["nsample"]
             r.raw_pa = data["raw_pa"]
         self.stage_time["events"] += time.time() - t0
         return batch
