@@ -127,8 +127,8 @@ def main(argv=None):
     p.add_argument("--kmer-model")
     p.add_argument("-t", "--threads", type=int, default=None)
     p.add_argument("-K", "--batchsize", type=int, default=512)
-    p.add_argument("-c", "--tsv", action="store_true",
-                   help="TSV output (default PAF)")
+    p.add_argument("-c", "--paf", action="store_true",
+                   help="PAF output with ss string (default TSV)")
     p.add_argument("--device", choices=["auto", "cpu"], default="auto")
     p.add_argument("-o", "--output", default="-")
 

@@ -148,6 +148,25 @@ def _worker_load(args):
 class Pipeline:
     """call-methylation / eventalign runtime."""
 
+    @classmethod
+    def bare(cls, opt: "Options", model, cpg_model=None):
+        """Compute-only pipeline (no BAM/genome/readdb) — used by
+        resquiggle, which feeds ReadRecords directly."""
+        self = object.__new__(cls)
+        self.opt = opt
+        self.model = model
+        self.cpg_model = cpg_model
+        self.bam = None
+        self.genome = None
+        self.readdb = None
+        self.counters = dict(
+            total_reads=0, unmapped=0, low_mapq=0, secondary=0,
+            bad_signal=0, failed_calibration=0, failed_alignment=0,
+            qc_fail=0, processed=0)
+        self.stage_time = dict(load=0.0, events=0.0, align=0.0,
+                               scaling=0.0, hmm=0.0, output=0.0)
+        return self
+
     def __init__(self, bam_path: str, genome_path: str, reads_path: str,
                  opt: Options | None = None):
         self.opt = opt or Options()
@@ -346,9 +365,17 @@ class Pipeline:
         n_bands = E + K + 2
         max_pairs = E + K
         if self._use_pallas():
+            import jax
+            import jax.numpy as jnp
+
             from ..ops.abea_pallas import (CHUNK, abea_fill_pallas,
                                            make_ev_rev, unpack_sideband)
 
+            if len(todo) == 1:
+                # a grid=(1,) Pallas launch wedges the tunnelled chip;
+                # duplicate the single read and discard the copy
+                dbatch = jax.tree.map(
+                    lambda a: jnp.concatenate([a, a], axis=0), dbatch)
             nb = ((n_bands + CHUNK - 1) // CHUNK) * CHUNK
             trace = abea_fill_pallas(dbatch, make_ev_rev(dbatch), nb)
             fill_out = (trace,) + tuple(unpack_sideband(trace))
