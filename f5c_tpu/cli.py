@@ -24,6 +24,8 @@ def _add_common_meth_args(p):
     p.add_argument("-B", "--max-bases", type=_kmg, default=5_000_000,
                    help="max bases per batch (K/M/G suffixes ok)")
     p.add_argument("--min-mapq", type=int, default=20)
+    p.add_argument("--slow5", help="SLOW5/BLOW5 signal file (instead of "
+                   "FAST5 via the readdb index)")
     p.add_argument("--secondary", choices=["yes", "no"], default="no")
     p.add_argument("--rna", action="store_true", help="direct RNA data")
     p.add_argument("--pore", choices=["r9", "r10", "rna004"], default="r9")
@@ -63,6 +65,7 @@ def _make_pipeline(args, meth_out_version=2):
         meth_model_path=args.meth_model,
         min_num_events_to_rescale=args.min_recalib_events,
         device=args.device,
+        slow5_path=getattr(args, "slow5", None),
         verbose=args.verbose,
     )
     if args.threads:
@@ -140,6 +143,10 @@ def main(argv=None):
 
         db = ReadDB(args.reads)
         db.build(fast5_dirs=args.directory or None, slow5_path=args.slow5)
+        if args.slow5:
+            from .io.slow5 import Slow5File
+
+            Slow5File(args.slow5).close()   # builds <file>.idx
         print(f"[f5c-tpu index] indexed {len(db._fa.entries)} reads "
               f"({len(db._paths or {})} with signal paths) "
               f"in {time.time()-t0:.1f}s", file=sys.stderr)

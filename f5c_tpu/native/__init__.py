@@ -78,6 +78,10 @@ def _declare(lib):
         _i32p, _i32p, _i64, _i32p, _i64, _f32p, _f32p, _f32p, _i64,
         _i32p, _i32p, ctypes.POINTER(ctypes.c_double),
         ctypes.POINTER(_f32), ctypes.POINTER(_f32), ctypes.POINTER(_f32)]
+    lib.f5c_svb_zd_decode.restype = _i64
+    lib.f5c_svb_zd_decode.argtypes = [_u8p, _i64, _i16p, _i64]
+    lib.f5c_svb_zd_encode.restype = _i64
+    lib.f5c_svb_zd_encode.argtypes = [_i16p, _i64, _u8p]
     lib.f5c_viterbi_chunk.restype = _i64
     lib.f5c_viterbi_chunk.argtypes = [
         _i32p, _i64, _i64, _f32p, _i64, _int, _i64,
@@ -216,6 +220,30 @@ def postalign_recalibrate(pairs: np.ndarray, ranks: np.ndarray,
     sc = Scalings(shift=float(shift.value), scale=float(scale.value),
                   var=float(var.value)) if ok else Scalings()
     return bool(ok), b2e_start, b2e_stop, float(epb.value), sc
+
+
+def svb_zd_decode(blob: np.ndarray, n_expected: int | None = None
+                  ) -> np.ndarray:
+    """Decode an svb-zd signal blob to int16 samples."""
+    lib = get_lib()
+    blob = np.ascontiguousarray(blob, dtype=np.uint8)
+    cap = n_expected if n_expected is not None else max(
+        int.from_bytes(blob[:4].tobytes(), "little"), 1)
+    out = np.empty(cap, dtype=np.int16)
+    n = lib.f5c_svb_zd_decode(blob, blob.shape[0], out, cap)
+    if n < 0:
+        raise ValueError("svb-zd: count exceeds buffer")
+    return out[:n]
+
+
+def svb_zd_encode(samples: np.ndarray) -> np.ndarray:
+    """Encode int16 samples as an svb-zd blob."""
+    lib = get_lib()
+    s = np.ascontiguousarray(samples, dtype=np.int16)
+    n = s.shape[0]
+    out = np.empty(4 + (n + 3) // 4 + 4 * n, dtype=np.uint8)
+    nb = lib.f5c_svb_zd_encode(s, n, out)
+    return out[:nb].copy()
 
 
 def viterbi_chunk(ranks: np.ndarray, rank_start: int, rank_stride: int,

@@ -632,6 +632,86 @@ void f5c_hmm_assemble(
 }
 
 // ---------------------------------------------------------------------------
+// StreamVByte zigzag-delta codec — the SLOW5/BLOW5 signal compression
+// (slow5lib slow5_press.c ptr_compress_svb_zd / ptr_depress_svb_zd +
+// thirdparty/streamvbyte, scalar variant).  Layout: u32 count-of-u32s,
+// then ceil(N/4) 2-bit-key control bytes, then variable-length data.
+// ---------------------------------------------------------------------------
+
+static inline uint32_t zigzag_enc(int32_t v) {
+  return ((uint32_t)(v + v)) ^ ((uint32_t)(v >> 31));
+}
+static inline int32_t zigzag_dec(uint32_t v) {
+  return (int32_t)(v >> 1) ^ -(int32_t)(v & 1);
+}
+
+// Decode an svb-zd blob into int16 samples; returns N (or -1 on overflow).
+int64_t f5c_svb_zd_decode(const uint8_t* in, int64_t n_bytes,
+                          int16_t* out, int64_t max_out) {
+  if (n_bytes < 4) return 0;
+  uint32_t count;
+  memcpy(&count, in, 4);
+  if ((int64_t)count > max_out) return -1;
+  const uint8_t* key = in + 4;
+  const uint8_t* data = key + ((count + 3) / 4);
+  int shift = 0;
+  uint8_t k = count ? *key++ : 0;
+  int32_t prev = 0;
+  for (uint32_t c = 0; c < count; c++) {
+    if (shift == 8) {
+      shift = 0;
+      k = *key++;
+    }
+    int code = (k >> shift) & 3;
+    uint32_t val = 0;
+    memcpy(&val, data, code + 1);  // little-endian
+    data += code + 1;
+    shift += 2;
+    int32_t d = zigzag_dec(val);
+    prev += d;
+    out[c] = (int16_t)prev;
+  }
+  return (int64_t)count;
+}
+
+// Encode int16 samples as svb-zd; out capacity must be >= 4 + ceil(N/4)
+// + 4*N.  Returns total bytes written.
+int64_t f5c_svb_zd_encode(const int16_t* in, int64_t n, uint8_t* out) {
+  uint32_t count = (uint32_t)n;
+  memcpy(out, &count, 4);
+  uint8_t* key = out + 4;
+  int64_t key_len = (n + 3) / 4;
+  memset(key, 0, key_len);
+  uint8_t* data = key + key_len;
+  int32_t prev = 0;
+  for (int64_t i = 0; i < n; i++) {
+    int32_t v = (int32_t)in[i];
+    uint32_t val = zigzag_enc(v - prev);
+    prev = v;
+    int code;
+    if (val < (1u << 8)) {
+      *data = (uint8_t)val;
+      data += 1;
+      code = 0;
+    } else if (val < (1u << 16)) {
+      memcpy(data, &val, 2);
+      data += 2;
+      code = 1;
+    } else if (val < (1u << 24)) {
+      memcpy(data, &val, 3);
+      data += 3;
+      code = 2;
+    } else {
+      memcpy(data, &val, 4);
+      data += 4;
+      code = 3;
+    }
+    key[i / 4] |= (uint8_t)(code << ((i % 4) * 2));
+  }
+  return (int64_t)(data - out);
+}
+
+// ---------------------------------------------------------------------------
 // Chunk Viterbi for eventalign (reference src/hmm.c:313-533 with the
 // ProfileHMMViterbiOutputR9 policy + src/eventalign.c:625-920 backtrace).
 // The device kernel (ops/hmm.py hmm_viterbi_rounds) is the batched path;

@@ -56,6 +56,7 @@ class Options:
     min_num_events_to_rescale: int = 200
     device: str = "auto"     # "auto" | "cpu" — jax platform hint
     verbose: int = 0
+    slow5_path: str | None = None   # SLOW5/BLOW5 signal file (over readdb)
 
 
 @dataclass
@@ -106,13 +107,21 @@ def _worker_init(model_kind: str, model_path: str | None, rna: bool):
 
 def _worker_load(args):
     """signal fetch + pA + events + MoM for one read (events.c path)."""
-    from ..io.fast5 import read_fast5_signal
-
     qname, path, seq, keep_raw = args
     model = _W["model"]
     rna = _W["rna"]
     try:
-        sig = read_fast5_signal(path, read_id=qname)
+        if path.endswith(".blow5") or path.endswith(".slow5"):
+            f5 = _W.get("slow5")
+            if f5 is None or f5.path != path:
+                from ..io.slow5 import Slow5File
+
+                f5 = _W["slow5"] = Slow5File(path)
+            sig = f5.get(qname)
+        else:
+            from ..io.fast5 import read_fast5_signal
+
+            sig = read_fast5_signal(path, read_id=qname)
     except (OSError, KeyError) as e:
         return qname, None
     if sig.nsample == 0:
@@ -170,6 +179,12 @@ class Pipeline:
     def __init__(self, bam_path: str, genome_path: str, reads_path: str,
                  opt: Options | None = None):
         self.opt = opt or Options()
+        if self.opt.slow5_path:
+            rna, pore = detect_pore_from_slow5(self.opt.slow5_path)
+            if rna is not None and not self.opt.rna:
+                self.opt.rna = rna
+            if pore is not None and self.opt.pore == "r9":
+                self.opt.pore = pore
         self.bam = BamReader(bam_path)
         self.genome = FastaIndex(genome_path)
         self.readdb = ReadDB(reads_path).load()
@@ -231,7 +246,8 @@ class Pipeline:
                     self.counters["secondary"] += 1
                     continue
                 seq = self.readdb.get_read_sequence(rec.qname)
-                path = self.readdb.get_signal_path(rec.qname)
+                path = opt.slow5_path or self.readdb.get_signal_path(
+                    rec.qname)
                 if not seq or not path:
                     self.counters["bad_signal"] += 1
                     continue
@@ -724,6 +740,33 @@ class Pipeline:
         st = self.stage_time
         f.write("[f5c-tpu] stage seconds: "
                 + " ".join(f"{k}={v:.2f}" for k, v in st.items()) + "\n")
+
+
+def detect_pore_from_slow5(path: str):
+    """Chemistry autodetect from the SLOW5 header (f5c.c:91-142
+    drna_detect/pore_detect): experiment_type == 'rna' -> RNA;
+    sequencing_kit containing '114' -> R10, 'rna004' -> RNA004.
+    Returns (rna or None, pore or None)."""
+    from ..io.slow5 import Slow5File
+
+    try:
+        f = Slow5File(path, create_index_if_missing=False)
+    except (OSError, AssertionError):
+        return None, None
+    attrs = f.header.attrs
+    f.close()
+    rna = None
+    pore = None
+    exp = [v for v in attrs.get("experiment_type", []) if v]
+    if exp:
+        rna = all(v == "rna" for v in exp)
+    kits = [v for v in attrs.get("sequencing_kit", []) if v]
+    if kits:
+        if any("114" in v for v in kits):
+            pore = "r10"
+        if any("rna004" in v for v in kits):
+            pore = "rna004"
+    return rna, pore
 
 
 def _bucket(n: int, minimum: int = 256) -> int:
