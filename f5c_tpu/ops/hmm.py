@@ -176,10 +176,21 @@ def _forward_single(gp_mean, gp_inv, gp_log, ev, n_kmers, n_events,
         Bp = _shift_prev(B)
         Kp = _shift_prev(K)
 
-        m_new = _logaddexp(
-            _logaddexp(_logaddexp(lp_stay + M, lp_step + Mp),
-                       _logaddexp(_LP_B3 + B, _LP_B3 + Bp)),
-            _LP_KM + Kp)
+        # single logsumexp over the 5 incoming terms (3 transcendentals
+        # instead of ~8 nested logaddexp ones)
+        t0 = lp_stay + M
+        t1 = lp_step + Mp
+        t2 = jnp.float32(_LP_B3) + B
+        t3 = jnp.float32(_LP_B3) + Bp
+        t4 = jnp.float32(_LP_KM) + Kp
+        mx = jnp.maximum(jnp.maximum(jnp.maximum(t0, t1),
+                                     jnp.maximum(t2, t3)), t4)
+        mx_s = jnp.where(jnp.isneginf(mx), jnp.float32(0.0), mx)
+        ssum = (jnp.exp(t0 - mx_s) + jnp.exp(t1 - mx_s)
+                + jnp.exp(t2 - mx_s) + jnp.exp(t3 - mx_s)
+                + jnp.exp(t4 - mx_s))
+        m_new = jnp.where(jnp.isneginf(mx), NEG_INF,
+                          mx_s + jnp.log(ssum))
         pre = _pre_flank(row_minus_1)
         soft_ok = allow_pre or (row_minus_1 == 0)
         m_new = jnp.where((kidx == 0) & soft_ok,

@@ -605,7 +605,7 @@ class Pipeline:
         it_var = read_var[it_read]
 
         scores = np.zeros(n_items, dtype=np.float32)
-        size_keys = np.array([_bucket(int(s), minimum=128) for s in sizes])
+        size_keys = np.array([_ebucket(int(s)) for s in sizes])
         for pad_e in np.unique(size_keys):
             idxs = np.nonzero(size_keys == pad_e)[0]
             pad_k = _bucket(int(ksizes[idxs].max()), minimum=128)
@@ -775,6 +775,13 @@ def _bucket(n: int, minimum: int = 256) -> int:
     while b < n:
         b *= 2
     return b
+
+
+def _ebucket(n: int) -> int:
+    """HMM event-window row bucket.  Coarse on purpose: every extra
+    bucket is an extra device dispatch, and on a tunnelled chip the
+    ~70ms dispatch latency outweighs the padded rows it saves."""
+    return _bucket(n, minimum=128)
 
 
 def _nbucket(n: int) -> int:
