@@ -19,10 +19,20 @@ def _add_common_meth_args(p):
     p.add_argument("-r", "--reads", required=True, help="reads FASTA/FASTQ")
     p.add_argument("-t", "--threads", type=int, default=None,
                    help="host worker processes")
-    p.add_argument("-K", "--batchsize", type=int, default=512,
-                   help="max reads per batch")
-    p.add_argument("-B", "--max-bases", type=_kmg, default=5_000_000,
-                   help="max bases per batch (K/M/G suffixes ok)")
+    p.add_argument("-K", "--batchsize", type=int, default=None,
+                   help="max reads per batch [512]")
+    p.add_argument("-B", "--max-bases", type=_kmg, default=None,
+                   help="max bases per batch (K/M/G suffixes ok) [5M]")
+    p.add_argument("-x", "--profile", default=None,
+                   help="parameter preset (laptop/desktop/hpc/tpu/... or "
+                        "a file of 7 numbers), applied before other flags")
+    p.add_argument("-w", "--window", default=None,
+                   help="genomic region chr:start-end or a .bed file")
+    p.add_argument("--ultra-thresh", type=_kmg, default=100_000,
+                   help="threshold for ultra-long reads")
+    p.add_argument("--skip-ultra", default=None, metavar="FILE",
+                   help="skip ultra-long reads, writing them to FILE (BAM) "
+                        "for a second pass")
     p.add_argument("--min-mapq", type=int, default=20)
     p.add_argument("--slow5", help="SLOW5/BLOW5 signal file (instead of "
                    "FAST5 via the readdb index)")
@@ -36,6 +46,12 @@ def _add_common_meth_args(p):
     p.add_argument("--device", choices=["auto", "cpu"], default="auto",
                    help="'cpu' forces JAX onto host CPU")
     p.add_argument("-o", "--output", default="-", help="output file")
+    p.add_argument("--print-events", action="store_true",
+                   help="dump the event table (debug oracle)")
+    p.add_argument("--print-banded-aln", action="store_true",
+                   help="dump ABEA aligned pairs (debug oracle)")
+    p.add_argument("--print-scaling", action="store_true",
+                   help="dump calibrated scalings (debug oracle)")
     p.add_argument("--verbose", type=int, default=0)
 
 
@@ -56,8 +72,6 @@ def _make_pipeline(args, meth_out_version=2):
     opt = Options(
         min_mapq=args.min_mapq,
         keep_secondary=args.secondary == "yes",
-        batch_reads=args.batchsize,
-        batch_bases=args.max_bases,
         meth_out_version=meth_out_version,
         rna=args.rna,
         pore=args.pore,
@@ -68,8 +82,23 @@ def _make_pipeline(args, meth_out_version=2):
         slow5_path=getattr(args, "slow5", None),
         verbose=args.verbose,
     )
+    if getattr(args, "profile", None):
+        from .profiles import apply_profile
+
+        apply_profile(opt, args.profile)
+    # explicit flags override the profile (profiles.c: -x applied first)
+    if args.batchsize is not None:
+        opt.batch_reads = args.batchsize
+    if args.max_bases is not None:
+        opt.batch_bases = args.max_bases
     if args.threads:
         opt.num_proc = args.threads
+    opt.region_str = getattr(args, "window", None)
+    opt.print_events = getattr(args, "print_events", False)
+    opt.print_banded_aln = getattr(args, "print_banded_aln", False)
+    opt.print_scaling = getattr(args, "print_scaling", False)
+    opt.ultra_thresh = getattr(args, "ultra_thresh", 100_000)
+    opt.skip_ultra = getattr(args, "skip_ultra", None)
     return Pipeline(args.bam, args.genome, args.reads, opt)
 
 

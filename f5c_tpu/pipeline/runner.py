@@ -29,6 +29,7 @@ from ..constants import (
     DEFAULT_BATCH_BASES,
     DEFAULT_BATCH_READS,
     DEFAULT_MIN_MAPQ,
+    DEFAULT_ULTRA_THRESH,
     FAILED_ALIGNMENT,
     FAILED_CALIBRATION,
     FAILED_QUALITY_CHK,
@@ -57,6 +58,12 @@ class Options:
     device: str = "auto"     # "auto" | "cpu" — jax platform hint
     verbose: int = 0
     slow5_path: str | None = None   # SLOW5/BLOW5 signal file (over readdb)
+    region_str: str | None = None   # -w chr:start-end or .bed file
+    ultra_thresh: int = DEFAULT_ULTRA_THRESH
+    skip_ultra: str | None = None   # BAM path for deferred ultra-long reads
+    print_events: bool = False      # stage-level debug dumps (f5c.c:974)
+    print_banded_aln: bool = False  # (f5c.c:989)
+    print_scaling: bool = False     # (f5c.c:1008)
 
 
 @dataclass
@@ -208,9 +215,26 @@ class Pipeline:
         self.counters = dict(
             total_reads=0, unmapped=0, low_mapq=0, secondary=0,
             bad_signal=0, failed_calibration=0, failed_alignment=0,
-            qc_fail=0, processed=0)
+            qc_fail=0, processed=0, ultra_long_skipped=0)
         self.stage_time = dict(load=0.0, events=0.0, align=0.0,
                                scaling=0.0, hmm=0.0, output=0.0)
+        # genomic window(s): -w chr:start-end or a .bed list
+        self.regions = None          # list of (chrom, start, end)
+        self.clip_start = -1
+        self.clip_end = -1
+        if self.opt.region_str:
+            self.regions = parse_regions(self.opt.region_str)
+            if len(self.regions) == 1:
+                _, self.clip_start, self.clip_end = self.regions[0]
+        self._ultra_records = []
+
+    def _in_region(self, rec) -> bool:
+        name = self.bam.references[rec.tid]
+        end = rec.ref_end()
+        for chrom, start, stop in self.regions:
+            if chrom == name and rec.pos < stop and end > start:
+                return True
+        return False
 
     # ---- batch iteration ------------------------------------------------
     def batches(self, keep_raw: bool = False):
@@ -245,6 +269,8 @@ class Pipeline:
                 if rec.is_secondary and not opt.keep_secondary:
                     self.counters["secondary"] += 1
                     continue
+                if self.regions is not None and not self._in_region(rec):
+                    continue
                 seq = self.readdb.get_read_sequence(rec.qname)
                 path = opt.slow5_path or self.readdb.get_signal_path(
                     rec.qname)
@@ -253,6 +279,13 @@ class Pipeline:
                     continue
                 if opt.rna:
                     seq = seq.replace("U", "T")
+                if (opt.skip_ultra is not None
+                        and len(seq) > opt.ultra_thresh):
+                    # defer ultra-long reads to a second pass
+                    # (f5cio.c:573-578)
+                    self.counters["ultra_long_skipped"] += 1
+                    self._ultra_records.append(rec)
+                    continue
                 self.counters["total_reads"] += 1
                 batch.append(ReadRecord(
                     qname=rec.qname, read_idx=idx, tid=rec.tid, pos=rec.pos,
@@ -269,6 +302,17 @@ class Pipeline:
         finally:
             if pool is not None:
                 pool.shutdown(wait=False, cancel_futures=True)
+            if self._ultra_records and opt.skip_ultra:
+                from ..io.bam import write_bam
+
+                write_bam(opt.skip_ultra,
+                          list(zip(self.bam.references,
+                                   self.bam.ref_lengths)),
+                          self._ultra_records)
+                sys.stderr.write(
+                    f"[f5c-tpu] {len(self._ultra_records)} ultra-long "
+                    f"reads (> {opt.ultra_thresh} bases) written to "
+                    f"{opt.skip_ultra} for a second pass\n")
 
     def _load_batch(self, pool, batch, keep_raw):
         t0 = time.time()
@@ -680,6 +724,42 @@ class Pipeline:
                 end += ln
         return self.genome.fetch(ref_name, r.pos, end)
 
+    # ---- stage-level debug dumps (reference --print-* oracles) -----------
+    def debug_prints(self, batch, out=sys.stdout):
+        """--print-events / --print-banded-aln / --print-scaling in the
+        reference's exact formats (f5c.c:974-1021)."""
+        opt = self.opt
+        if opt.print_events:
+            for r in batch:
+                if r.event_means is None:
+                    continue
+                n = r.event_starts.shape[0]
+                start = int(r.event_starts[0]) if n else 0
+                end = (int(r.event_starts[-1] + r.event_lengths[-1])
+                       if n else 0)
+                out.write(f">{r.qname}\tLN:{n}\tEVENTSTART:{start}\t"
+                          f"EVENTEND:{end}\n")
+                out.write("\t".join(
+                    f"{{{int(r.event_starts[j])},{r.event_lengths[j]:f},"
+                    f"{r.event_means[j]:f},{r.event_stdvs[j]:f}}}"
+                    for j in range(n)) + "\t\n")
+        if opt.print_banded_aln:
+            for r in batch:
+                if r.status & FAILED_ALIGNMENT or r.pairs is None:
+                    continue
+                out.write(f">{r.qname}\tN_ALGN_PAIR:{r.pairs.shape[0]}\t"
+                          "{ref_pos,read_pos}\n")
+                out.write("\t".join(
+                    f"{{{int(k)},{int(e)}}}" for k, e in r.pairs) + "\t\n")
+        if opt.print_scaling:
+            out.write("read\tshift\tscale\tvar\n")
+            for r in batch:
+                if r.status & (FAILED_ALIGNMENT | FAILED_CALIBRATION) \
+                        or r.scaling is None:
+                    continue
+                out.write(f"{r.qname}\t{r.scaling.shift:.2f}\t"
+                          f"{r.scaling.scale:.2f}\t{r.scaling.var:.2f}\n")
+
     # ---- tool drivers ----------------------------------------------------
     def call_methylation(self, out=sys.stdout):
         opt = self.opt
@@ -696,6 +776,9 @@ class Pipeline:
         for batch in self.batches():
             self.align_batch(batch)
             sites_by_read = self.meth_batch(batch)
+            if (opt.print_events or opt.print_banded_aln
+                    or opt.print_scaling):
+                self.debug_prints(batch, out)
             t0 = time.time()
             for r in batch:
                 if r.status:
@@ -706,6 +789,12 @@ class Pipeline:
                 contig = self.bam.references[r.tid]
                 for start in sorted(site_map):
                     ss = site_map[start]
+                    # window clip (f5c.c:1046-1047)
+                    if ((self.clip_start != -1
+                         and ss.start_position < self.clip_start)
+                            or (self.clip_end != -1
+                                and ss.end_position >= self.clip_end)):
+                        continue
                     if opt.meth_out_version == 1:
                         out.write(f"{contig}\t{ss.start_position}\t"
                                   f"{ss.end_position}\t")
@@ -740,6 +829,32 @@ class Pipeline:
         st = self.stage_time
         f.write("[f5c-tpu] stage seconds: "
                 + " ".join(f"{k}={v:.2f}" for k, v in st.items()) + "\n")
+
+
+def parse_regions(region_str: str):
+    """-w argument: 'chr:start-end', bare 'chr', or a .bed file of
+    regions (meth_main.c:484).  Returns [(chrom, start, end)]."""
+    import os
+
+    def parse_one(s: str):
+        if ":" in s:
+            chrom, rng = s.rsplit(":", 1)
+            if "-" in rng:
+                a, b = rng.split("-")
+                return (chrom, int(a.replace(",", "")),
+                        int(b.replace(",", "")))
+            return (chrom, int(rng.replace(",", "")), 1 << 62)
+        return (s, 0, 1 << 62)
+
+    if os.path.isfile(region_str) and region_str.endswith(".bed"):
+        out = []
+        with open(region_str) as f:
+            for line in f:
+                cols = line.rstrip("\n").split("\t")
+                if len(cols) >= 3 and not line.startswith("#"):
+                    out.append((cols[0], int(cols[1]), int(cols[2])))
+        return out
+    return [parse_one(region_str)]
 
 
 def detect_pore_from_slow5(path: str):

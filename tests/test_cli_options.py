@@ -1,0 +1,136 @@
+"""CLI option plumbing: profiles, regions, skip-ultra, debug prints."""
+
+import io
+import os
+
+import numpy as np
+import pytest
+
+ECOLI = "/root/reference/test/ecoli_2kb_region"
+
+pytestmark = pytest.mark.skipif(not os.path.isdir(ECOLI),
+                                reason="dataset missing")
+
+
+def test_profiles():
+    from f5c_tpu.pipeline.runner import Options
+    from f5c_tpu.profiles import PROFILES, apply_profile, load_profile
+
+    opt = Options()
+    p = apply_profile(opt, "hpc-high")
+    assert opt.batch_reads == 2560
+    assert opt.batch_bases == 25_000_000
+    assert opt.num_proc == 64
+    assert opt.ultra_thresh == 100_000
+    assert PROFILES["laptop"] is PROFILES["laptop-mid"]
+    assert load_profile("desktop").batch_size == 768
+
+
+def test_profile_file(tmp_path):
+    from f5c_tpu.profiles import load_profile
+
+    f = tmp_path / "prof"
+    f.write_text("5.0 2.0 5.0 300 3000000 7 50000\n")
+    p = load_profile(str(f))
+    assert p.batch_size == 300
+    assert p.batch_size_bases == 3_000_000
+    assert p.num_thread == 7
+    assert p.ultra_thresh == 50_000
+
+
+def test_parse_regions(tmp_path):
+    from f5c_tpu.pipeline.runner import parse_regions
+
+    assert parse_regions("chr1:1,000-2,000") == [("chr1", 1000, 2000)]
+    assert parse_regions("chr2")[0][0] == "chr2"
+    bed = tmp_path / "r.bed"
+    bed.write_text("chr1\t10\t20\nchr3\t5\t9\n")
+    assert parse_regions(str(bed)) == [("chr1", 10, 20), ("chr3", 5, 9)]
+
+
+@pytest.fixture(scope="module")
+def self_dataset(tmp_path_factory):
+    import glob
+
+    from f5c_tpu.io.bam import write_bam
+    from f5c_tpu.io.fasta import FastaIndex
+    from f5c_tpu.io.readdb import ReadDB
+
+    tmp = str(tmp_path_factory.mktemp("cliopt"))
+    fa = FastaIndex(os.path.join(ECOLI, "reads.fasta"))
+    names = fa.names()[:4]
+    genome = os.path.join(tmp, "genome.fa")
+    reads = os.path.join(tmp, "reads.fasta")
+    with open(genome, "w") as g, open(reads, "w") as r:
+        for n in names:
+            seq = fa.fetch(n)
+            g.write(f">{n}\n{seq}\n")
+            r.write(f">{n}\n{seq}\n")
+
+    class Rec:
+        pass
+
+    recs = []
+    for i, n in enumerate(names):
+        rec = Rec()
+        rec.qname = n
+        rec.flag = 0
+        rec.tid = i
+        rec.pos = 0
+        rec.mapq = 60
+        rec.cigar = [(0, fa.entries[n].length)]
+        rec.seq = fa.fetch(n)
+        recs.append(rec)
+    bam = os.path.join(tmp, "self.bam")
+    write_bam(bam, [(n, fa.entries[n].length) for n in names], recs)
+    ReadDB(reads).build(fast5_dirs=[os.path.join(ECOLI, "fast5_files")])
+    return bam, genome, reads, names, fa
+
+
+def test_region_filter(self_dataset):
+    from f5c_tpu.pipeline.runner import Options, Pipeline
+
+    bam, genome, reads, names, fa = self_dataset
+    opt = Options(min_mapq=0, region_str=f"{names[1]}:0-100000")
+    p = Pipeline(bam, genome, reads, opt)
+    batch = next(p.batches())
+    assert [r.qname for r in batch] == [names[1]]
+    assert p.clip_start == 0
+
+
+def test_skip_ultra(self_dataset, tmp_path):
+    from f5c_tpu.io.bam import BamReader
+    from f5c_tpu.pipeline.runner import Options, Pipeline
+
+    bam, genome, reads, names, fa = self_dataset
+    lengths = {n: fa.entries[n].length for n in names}
+    thresh = sorted(lengths.values())[1]  # skip the two longest
+    skip_bam = str(tmp_path / "ultra.bam")
+    opt = Options(min_mapq=0, ultra_thresh=thresh, skip_ultra=skip_bam)
+    p = Pipeline(bam, genome, reads, opt)
+    batches = list(p.batches())
+    loaded = [r.qname for b in batches for r in b]
+    assert all(lengths[q] <= thresh for q in loaded)
+    assert p.counters["ultra_long_skipped"] == len(names) - len(loaded)
+    deferred = [r.qname for r in BamReader(skip_bam)]
+    assert set(deferred) | set(loaded) == set(names)
+
+
+def test_debug_prints(self_dataset):
+    from f5c_tpu.pipeline.runner import Options, Pipeline
+
+    bam, genome, reads, names, fa = self_dataset
+    opt = Options(min_mapq=0, print_events=True, print_banded_aln=True,
+                  print_scaling=True)
+    p = Pipeline(bam, genome, reads, opt)
+    batch = next(p.batches())
+    p.align_batch(batch)
+    buf = io.StringIO()
+    p.debug_prints(batch, out=buf)
+    text = buf.getvalue()
+    assert text.count(">") >= 2 * len(batch)   # events + banded-aln blocks
+    assert "read\tshift\tscale\tvar\n" in text
+    # event rows formatted like the reference dump: {start,len,mean,stdv}
+    first = text.splitlines()[1].split("\t")[0]
+    assert first.startswith("{") and first.endswith("}")
+    assert len(first.split(",")) == 4
