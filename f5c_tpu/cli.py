@@ -46,6 +46,10 @@ def _add_common_meth_args(p):
     p.add_argument("--device", choices=["auto", "cpu"], default="auto",
                    help="'cpu' forces JAX onto host CPU")
     p.add_argument("-o", "--output", default="-", help="output file")
+    p.add_argument("--shard", default=None, metavar="I/N",
+                   help="process only reads with read_idx %% N == I "
+                        "(multi-host data parallelism; merge outputs "
+                        "with cat / freq-merge)")
     p.add_argument("--print-events", action="store_true",
                    help="dump the event table (debug oracle)")
     p.add_argument("--print-banded-aln", action="store_true",
@@ -97,6 +101,10 @@ def _make_pipeline(args, meth_out_version=2):
     opt.print_events = getattr(args, "print_events", False)
     opt.print_banded_aln = getattr(args, "print_banded_aln", False)
     opt.print_scaling = getattr(args, "print_scaling", False)
+    shard = getattr(args, "shard", None)
+    if shard:
+        i, n = shard.split("/")
+        opt.shard_index, opt.shard_count = int(i), int(n)
     opt.ultra_thresh = getattr(args, "ultra_thresh", 100_000)
     opt.skip_ultra = getattr(args, "skip_ultra", None)
     return Pipeline(args.bam, args.genome, args.reads, opt)
@@ -185,8 +193,7 @@ def main(argv=None):
         pipe = _make_pipeline(args, meth_out_version=args.meth_out_version)
         out = _out_fh(args.output)
         pipe.call_methylation(out=out)
-        pipe.report()
-        return 0
+        return pipe.report()
 
     if args.cmd == "eventalign":
         from .pipeline.eventalign import run_eventalign
@@ -194,8 +201,7 @@ def main(argv=None):
         pipe = _make_pipeline(args)
         out = _out_fh(args.output)
         run_eventalign(pipe, args, out=out)
-        pipe.report()
-        return 0
+        return pipe.report()
 
     if args.cmd == "meth-freq":
         from .pipeline.freq import meth_freq

@@ -64,6 +64,11 @@ class Options:
     print_events: bool = False      # stage-level debug dumps (f5c.c:974)
     print_banded_aln: bool = False  # (f5c.c:989)
     print_scaling: bool = False     # (f5c.c:1008)
+    # multi-host data parallelism: this process handles BAM records with
+    # read_idx % shard_count == shard_index; outputs merge
+    # deterministically by read index (SURVEY §2.7 / parallel/mesh.py)
+    shard_index: int = 0
+    shard_count: int = 1
 
 
 @dataclass
@@ -178,9 +183,13 @@ class Pipeline:
         self.counters = dict(
             total_reads=0, unmapped=0, low_mapq=0, secondary=0,
             bad_signal=0, failed_calibration=0, failed_alignment=0,
-            qc_fail=0, processed=0)
+            qc_fail=0, processed=0, ultra_long_skipped=0)
         self.stage_time = dict(load=0.0, events=0.0, align=0.0,
                                scaling=0.0, hmm=0.0, output=0.0)
+        self.regions = None
+        self.clip_start = -1
+        self.clip_end = -1
+        self._ultra_records = []
         return self
 
     def __init__(self, bam_path: str, genome_path: str, reads_path: str,
@@ -260,6 +269,9 @@ class Pipeline:
             for rec in self.bam:
                 idx = read_idx
                 read_idx += 1
+                if opt.shard_count > 1 and (
+                        idx % opt.shard_count != opt.shard_index):
+                    continue
                 if rec.is_unmapped:
                     self.counters["unmapped"] += 1
                     continue
@@ -818,17 +830,32 @@ class Pipeline:
             self.counters["qc_fail"] += 1
 
     def report(self, f=sys.stderr):
+        """End-of-run counters + sanity warnings (meth_main.c:744-837).
+        Returns a nonzero exit code when every read failed."""
         c = self.counters
         f.write(f"[f5c-tpu] candidate reads: {c['total_reads']}; "
                 f"processed: {c['processed']}; "
                 f"skipped mapq<{self.opt.min_mapq}: {c['low_mapq']}; "
                 f"secondary: {c['secondary']}; unmapped: {c['unmapped']}; "
-                f"bad signal: {c['bad_signal']}\n")
+                f"bad signal: {c['bad_signal']}; "
+                f"ultra-long skipped: {c['ultra_long_skipped']}\n")
         f.write(f"[f5c-tpu] failed: calibration {c['failed_calibration']}, "
                 f"alignment {c['failed_alignment']}, qc {c['qc_fail']}\n")
         st = self.stage_time
         f.write("[f5c-tpu] stage seconds: "
                 + " ".join(f"{k}={v:.2f}" for k, v in st.items()) + "\n")
+        failed = (c["failed_calibration"] + c["failed_alignment"]
+                  + c["qc_fail"])
+        total = c["total_reads"]
+        if total > 0 and failed == total:
+            f.write("[f5c-tpu] ERROR: all reads failed. Check that --pore "
+                    "and --rna match the dataset chemistry.\n")
+            return 1
+        if total > 0 and failed > total * 0.5:
+            f.write("[f5c-tpu] WARNING: more than half of the reads "
+                    "failed. Check --pore / --rna against the dataset "
+                    "chemistry (meth_main.c:821-837).\n")
+        return 0
 
 
 def parse_regions(region_str: str):
