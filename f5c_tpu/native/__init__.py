@@ -78,6 +78,14 @@ def _declare(lib):
         _i32p, _i32p, _i64, _i32p, _i64, _f32p, _f32p, _f32p, _i64,
         _i32p, _i32p, ctypes.POINTER(ctypes.c_double),
         ctypes.POINTER(_f32), ctypes.POINTER(_f32), ctypes.POINTER(_f32)]
+    lib.f5c_emit_eventalign_tsv.restype = _i64
+    lib.f5c_emit_eventalign_tsv.argtypes = [
+        _i64p, _i64p, _u8p, _i64, _int,
+        _i64p, _f32p, _f32p, _f32p, ctypes.c_void_p,
+        _i8p, _i64, _i8p, _i8p,
+        _int, _f32p, _f32p, _f32, _f32, _f32, _f32,
+        _int, _int, _int, _int,
+        _i8p, _i64]
     lib.f5c_svb_zd_decode.restype = _i64
     lib.f5c_svb_zd_decode.argtypes = [_u8p, _i64, _i16p, _i64]
     lib.f5c_svb_zd_encode.restype = _i64
@@ -220,6 +228,40 @@ def postalign_recalibrate(pairs: np.ndarray, ranks: np.ndarray,
     sc = Scalings(shift=float(shift.value), scale=float(scale.value),
                   var=float(var.value)) if ok else Scalings()
     return bool(ok), b2e_start, b2e_stop, float(epb.value), sc
+
+
+def emit_eventalign_tsv(ref_position, event_idx, state, rc, ev_starts,
+                        ev_lengths, ev_means, ev_stdvs, raw_pa, ref_disamb,
+                        ref_offset, contig, name_field, k, level_mean,
+                        level_stdv, scale, shift, var, sample_rate,
+                        scale_events, write_signal_index, collapse,
+                        write_samples) -> str:
+    """Render one read's eventalign TSV rows natively."""
+    lib = get_lib()
+    n = ref_position.shape[0]
+    cap = 256 * max(n, 1)
+    if write_samples:
+        cap += 16 * int(ev_lengths.sum() + 16 * n)
+    raw_ptr = (raw_pa.ctypes.data_as(ctypes.c_void_p)
+               if raw_pa is not None else None)
+    while True:
+        buf = ctypes.create_string_buffer(cap)
+        ln = lib.f5c_emit_eventalign_tsv(
+            np.ascontiguousarray(ref_position, dtype=np.int64),
+            np.ascontiguousarray(event_idx, dtype=np.int64),
+            np.ascontiguousarray(state, dtype=np.uint8), n, int(rc),
+            np.ascontiguousarray(ev_starts, dtype=np.int64),
+            np.ascontiguousarray(ev_lengths, dtype=np.float32),
+            np.ascontiguousarray(ev_means, dtype=np.float32),
+            np.ascontiguousarray(ev_stdvs, dtype=np.float32),
+            raw_ptr, ref_disamb, ref_offset,
+            contig.encode(), name_field.encode(), k,
+            level_mean, level_stdv, scale, shift, var, sample_rate,
+            int(scale_events), int(write_signal_index), int(collapse),
+            int(write_samples), buf, cap)
+        if ln >= 0:
+            return buf.raw[:ln].decode("latin1")
+        cap *= 2
 
 
 def svb_zd_decode(blob: np.ndarray, n_expected: int | None = None

@@ -17,6 +17,7 @@
 #include <cfloat>
 #include <cmath>
 #include <cstdint>
+#include <cstdio>
 #include <cstring>
 #include <vector>
 
@@ -629,6 +630,141 @@ void f5c_hmm_assemble(
     lp_stay[i] = (float)log(p_stay);
     lp_step[i] = (float)log(1.0 - p_stay - HMM_P_SKIP - HMM_P_BAD);
   }
+}
+
+// ---------------------------------------------------------------------------
+// eventalign TSV emitter (reference src/eventalign.c:2038-2176).
+// String formatting of millions of rows is host-bound; this renders one
+// read's records into a caller-provided buffer.  Returns bytes written,
+// or -1 if the buffer is too small (caller grows and retries).
+// ---------------------------------------------------------------------------
+
+static inline char comp_dna(char c) {
+  switch (c) {
+    case 'A': return 'T';
+    case 'C': return 'G';
+    case 'G': return 'C';
+    case 'T': return 'A';
+    default: return 'A';
+  }
+}
+
+int64_t f5c_emit_eventalign_tsv(
+    // records (forward order)
+    const int64_t* ref_position, const int64_t* event_idx,
+    const uint8_t* state, int64_t n_records, int rc,
+    // read event table
+    const int64_t* ev_starts, const float* ev_lengths,
+    const float* ev_means, const float* ev_stdvs,
+    const float* raw_pa,  // may be NULL unless collapse/samples
+    // reference segment (disambiguated) + coords
+    const char* ref_disamb, int64_t ref_offset,
+    // naming
+    const char* contig, const char* name_field,
+    // model + scaling
+    int k, const float* level_mean, const float* level_stdv,
+    float scale, float shift, float var, float sample_rate,
+    // flags
+    int scale_events, int write_signal_index, int collapse,
+    int write_samples,
+    // output
+    char* out, int64_t cap) {
+  int64_t len = 0;
+  float sqrt_var = sqrtf(var);
+  char ref_kmer[16], model_kmer[16];
+  int64_t i = 0;
+  while (i < n_records) {
+    // worst-case row length guard (plus samples, checked separately)
+    if (len + 512 > cap) return -1;
+    int64_t e_i = event_idx[i];
+    int64_t rp = ref_position[i];
+    const char* rk = ref_disamb + (rp - ref_offset);
+    memcpy(ref_kmer, rk, k);
+    ref_kmer[k] = 0;
+    int is_b = state[i] == 1;
+    if (is_b) {
+      for (int j = 0; j < k; j++) model_kmer[j] = 'N';
+    } else if (rc) {
+      for (int j = 0; j < k; j++) model_kmer[j] = comp_dna(rk[k - 1 - j]);
+    } else {
+      memcpy(model_kmer, rk, k);
+    }
+    model_kmer[k] = 0;
+
+    float event_mean = ev_means[e_i];
+    float event_stdv = ev_stdvs[e_i];
+    float event_duration = ev_lengths[e_i] / sample_rate;
+    int64_t start_idx = ev_starts[e_i];
+    int64_t end_idx = start_idx + (int64_t)ev_lengths[e_i];
+
+    int64_t n_collapse = 1;
+    if (collapse) {
+      while (i + n_collapse < n_records &&
+             rp == ref_position[i + n_collapse]) {
+        n_collapse++;
+      }
+      if (n_collapse > 1 && raw_pa) {
+        int64_t e_j = event_idx[i + n_collapse - 1];
+        int64_t s2 = ev_starts[e_j];
+        int64_t e2 = s2 + (int64_t)ev_lengths[e_j];
+        if (s2 < start_idx) start_idx = s2;
+        if (e2 > end_idx) end_idx = e2;
+        double m = 0;
+        int64_t ns = end_idx - start_idx;
+        for (int64_t j = start_idx; j < end_idx; j++) m += raw_pa[j];
+        // reference accumulates in float; difference is negligible and
+        // inside the output precision (%.2f)
+        event_mean = (float)(m / ns);
+        double v = 0;
+        for (int64_t j = start_idx; j < end_idx; j++) {
+          double d = raw_pa[j] - event_mean;
+          v += d * d;
+        }
+        event_stdv = (float)sqrt(v / ns);
+        event_duration = (float)ns / sample_rate;
+      }
+    }
+
+    // rank of the model kmer (2-bit)
+    int32_t rank = 0;
+    for (int j = 0; j < k; j++) rank = (rank << 2) | dna_code(model_kmer[j]);
+    float model_mean = 0.0f, model_stdv = 0.0f;
+    if (scale_events) {
+      event_mean = (event_mean - shift) / scale;
+      if (!is_b) {
+        model_mean = level_mean[rank];
+        model_stdv = level_stdv[rank];
+      }
+    } else if (!is_b) {
+      model_mean = scale * level_mean[rank] + shift;
+      model_stdv = level_stdv[rank] * var;
+    }
+    float standard_level = (event_mean - model_mean)
+                           / (sqrt_var * model_stdv);
+
+    len += sprintf(out + len, "%s\t%ld\t%s\t%s\tt\t", contig, (long)rp,
+                   ref_kmer, name_field);
+    len += sprintf(out + len, "%ld\t%.2f\t%.3f\t%.5f\t", (long)e_i,
+                   event_mean, event_stdv, event_duration);
+    len += sprintf(out + len, "%s\t%.2f\t%.2f\t%.2f", model_kmer,
+                   model_mean, model_stdv, standard_level);
+    if (write_signal_index) {
+      len += sprintf(out + len, "\t%ld\t%ld", (long)start_idx,
+                     (long)end_idx);
+    }
+    if (write_samples && raw_pa) {
+      if (len + 16 * (end_idx - start_idx) + 16 > cap) return -1;
+      out[len++] = '\t';
+      for (int64_t j = start_idx; j < end_idx; j++) {
+        float s = (raw_pa[j] - shift) / scale;
+        len += sprintf(out + len, "%g", s);
+        if (j + 1 < end_idx) out[len++] = ',';
+      }
+    }
+    out[len++] = '\n';
+    i += n_collapse;
+  }
+  return len;
 }
 
 // ---------------------------------------------------------------------------

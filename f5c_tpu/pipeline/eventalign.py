@@ -554,8 +554,23 @@ def emit_tsv(recs: EventAlignmentRecords, read, model, contig: str,
              write_samples=False, write_signal_index=False,
              collapse=False) -> str:
     """eventalign.c:2038-2176."""
+    from .. import native
+
     k = model.k
     sample_rate = read.sample_rate
+    if native.available():
+        raw = None
+        if (collapse or write_samples) and read.raw_pa is not None:
+            raw = np.ascontiguousarray(read.raw_pa, dtype=np.float32)
+        sc = read.scaling
+        return native.emit_eventalign_tsv(
+            recs.ref_position, recs.event_idx, recs.state, recs.rc,
+            read.event_starts, read.event_lengths, read.event_means,
+            read.event_stdvs, raw, ref_disamb, ref_offset, contig,
+            read.qname if print_read_names else str(read_idx), k,
+            model.level_mean, model.level_stdv, sc.scale, sc.shift,
+            sc.var, sample_rate, scale_events, write_signal_index,
+            collapse, write_samples)
     ref_kmers, model_kmers = _kmers_for_records(recs, ref_disamb,
                                                 ref_offset, k)
     ev_means = read.event_means
