@@ -662,6 +662,7 @@ class Pipeline:
 
         scores = np.zeros(n_items, dtype=np.float32)
         size_keys = np.array([_ebucket(int(s)) for s in sizes])
+        pending = []   # dispatch every bucket async, sync once at the end
         for pad_e in np.unique(size_keys):
             idxs = np.nonzero(size_keys == pad_e)[0]
             pad_k = _bucket(int(ksizes[idxs].max()), minimum=128)
@@ -677,7 +678,7 @@ class Pipeline:
                 out[:n_sub] = a[idxs]
                 return out
 
-            s = np.asarray(hmm_forward_packed(
+            s = hmm_forward_packed(
                 jnp.asarray(ranks), jnp.asarray(n_km), ev_pool,
                 jnp.asarray(_pad1(it_ev_start)),
                 jnp.asarray(_pad1(it_stride, fill=1)),
@@ -687,8 +688,10 @@ class Pipeline:
                 jnp.asarray(_pad1(it_var, fill=1)),
                 jnp.asarray(_pad1(it_lp_stay)),
                 jnp.asarray(_pad1(it_lp_step)),
-                lm_dev, ls_dev, ll_dev, pad_events=int(pad_e)))
-            scores[idxs] = s[:n_sub]
+                lm_dev, ls_dev, ll_dev, pad_events=int(pad_e))
+            pending.append((idxs, n_sub, s))
+        for idxs, n_sub, s in pending:
+            scores[idxs] = np.asarray(s)[:n_sub]
         self.stage_time["hmm"] += time.time() - t0
 
         # aggregate into ScoredSites (kept per read in batch order)
@@ -920,10 +923,13 @@ def _bucket(n: int, minimum: int = 256) -> int:
 
 
 def _ebucket(n: int) -> int:
-    """HMM event-window row bucket.  Coarse on purpose: every extra
-    bucket is an extra device dispatch, and on a tunnelled chip the
-    ~70ms dispatch latency outweighs the padded rows it saves."""
-    return _bucket(n, minimum=128)
+    """HMM event-window row bucket: 32-step granularity up to 128 (most
+    CpG windows are ~30-60 events; dispatches are async and synced once
+    per batch, so the extra buckets cost no round trips), powers of two
+    beyond."""
+    if n <= 128:
+        return 32 * ((n + 31) // 32)
+    return _bucket(n, minimum=256)
 
 
 def _nbucket(n: int) -> int:
