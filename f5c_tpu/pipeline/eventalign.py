@@ -836,7 +836,7 @@ def run_eventalign(pipe, args, out=sys.stdout):
 
     engine = EventalignEngine(pipe.model)
     keep_raw = samples or collapse
-    for batch in pipe.batches(keep_raw=keep_raw):
+    for batch in pipe.batches_prefetched(keep_raw=keep_raw):
         pipe.align_batch(batch)
         t0 = _time.time()
         ok = [r for r in batch if not r.status and r.b2e_start is not None]

@@ -739,6 +739,36 @@ class Pipeline:
                 end += ln
         return self.genome.fetch(ref_name, r.pos, end)
 
+    def batches_prefetched(self, keep_raw: bool = False, depth: int = 2):
+        """batches() behind a prefetch thread: batch N+1 loads (signal
+        fetch + event detection, IO/native-bound) while the device
+        processes batch N — the reference's 3-stage interleaved pipeline
+        (meth_main.c:610-742) collapsed to load/process overlap."""
+        import queue
+        import threading
+
+        q: "queue.Queue" = queue.Queue(maxsize=depth)
+        _END = object()
+
+        def worker():
+            try:
+                for b in self.batches(keep_raw=keep_raw):
+                    q.put(b)
+                q.put(_END)
+            except BaseException as e:  # surface loader errors in-line
+                q.put(e)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is _END:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+        t.join()
+
     # ---- stage-level debug dumps (reference --print-* oracles) -----------
     def debug_prints(self, batch, out=sys.stdout):
         """--print-events / --print-banded-aln / --print-scaling in the
@@ -788,7 +818,7 @@ class Pipeline:
                       "log_lik_ratio\tlog_lik_methylated\t"
                       "log_lik_unmethylated\tnum_calling_strands\t"
                       "num_motifs\tsequence\n")
-        for batch in self.batches():
+        for batch in self.batches_prefetched():
             self.align_batch(batch)
             sites_by_read = self.meth_batch(batch)
             if (opt.print_events or opt.print_banded_aln
