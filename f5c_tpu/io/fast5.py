@@ -92,14 +92,14 @@ class Fast5File:
             if read_id is None:
                 read_id = self.read_ids()[0]
             grp = self._h5[f"read_{read_id}"]
-            raw = grp["Raw/Signal"][()]
+            raw = _read_signal_dataset(grp["Raw/Signal"])
             ch = grp["channel_id"].attrs
             rid = read_id
         else:
             reads = self._h5["Raw/Reads"]
             key = next(iter(reads.keys()))
             rgrp = reads[key]
-            raw = rgrp["Signal"][()]
+            raw = _read_signal_dataset(rgrp["Signal"])
             ch = self._h5["UniqueGlobalKey/channel_id"].attrs
             rid = rgrp.attrs.get("read_id", b"")
             rid = rid.decode() if isinstance(rid, bytes) else str(rid)
@@ -111,6 +111,53 @@ class Fast5File:
             sample_rate=float(ch["sampling_rate"]),
             read_id=rid,
         )
+
+
+VBZ_FILTER_ID = 32020   # ONT vbz HDF5 filter (fast5lite.h:63)
+
+
+def _read_signal_dataset(ds) -> np.ndarray:
+    """Read a Signal dataset, decoding vbz-compressed chunks directly.
+
+    The ONT vbz filter (id 32020) is zstd over a StreamVByte stream of
+    zigzag-delta int16s; the reference requires the HDF5 plugin and
+    errors without it (fast5lite.h:296-298) — here the chunks are read
+    raw and decoded with the same svb machinery as BLOW5 signals.
+    """
+    try:
+        return ds[()]
+    except OSError:
+        pass  # missing filter plugin: decode manually below
+    filters = ds._filters if hasattr(ds, "_filters") else {}
+    if str(VBZ_FILTER_ID) not in {str(k) for k in filters}:
+        raise OSError(f"cannot read dataset {ds.name}: unknown filter")
+    import zstandard
+
+    n = ds.shape[0]
+    chunk = ds.chunks[0] if ds.chunks else n
+    out = np.empty(n, dtype=np.int16)
+    dctx = zstandard.ZstdDecompressor()
+    for start in range(0, n, chunk):
+        _, blob = ds.id.read_direct_chunk((start,))
+        svb = dctx.decompress(blob, max_output_size=chunk * 8 + 16)
+        count = min(chunk, n - start)
+        out[start : start + count] = _vbz_svb_decode(svb, count)
+    return out
+
+
+def _vbz_svb_decode(svb: bytes, count: int) -> np.ndarray:
+    """StreamVByte zigzag-delta decode with an external element count
+    (vbz chunks carry no count prefix, unlike BLOW5 svb-zd blobs)."""
+    from .. import native
+
+    blob = np.empty(4 + len(svb), dtype=np.uint8)
+    blob[:4] = np.frombuffer(np.uint32(count).tobytes(), dtype=np.uint8)
+    blob[4:] = np.frombuffer(svb, dtype=np.uint8)
+    if native.available():
+        return native.svb_zd_decode(blob, count)
+    from .slow5 import _svb_zd_decode
+
+    return _svb_zd_decode(blob.tobytes())
 
 
 def read_fast5_signal(path: str, read_id: str | None = None) -> Signal:
