@@ -12,6 +12,8 @@ import argparse
 import sys
 import time
 
+__version__ = "0.1.0"
+
 
 def _add_common_meth_args(p):
     p.add_argument("-b", "--bam", required=True, help="sorted BAM file")
@@ -120,6 +122,8 @@ def main(argv=None):
         prog="f5c-tpu",
         description="TPU-native nanopore signal analysis "
                     "(index / call-methylation / eventalign / resquiggle)")
+    ap.add_argument("--version", action="version",
+                    version=f"f5c-tpu {__version__}")
     sub = ap.add_subparsers(dest="cmd", required=True)
 
     p = sub.add_parser("index", help="build read index (readdb)")
@@ -139,6 +143,9 @@ def main(argv=None):
     _add_common_meth_args(p)
     p.add_argument("--summary", help="write per-read summary TSV")
     p.add_argument("--sam", action="store_true")
+    p.add_argument("--sam-out-version", type=int, choices=[1, 2], default=2,
+                   help="SAM output: 1 = events-as-CIGAR record, 2 = base "
+                        "alignment + si/ss/sc/sh tags")
     p.add_argument("--paf", action="store_true")
     p.add_argument("--m6anet", action="store_true")
     p.add_argument("--scale-events", action="store_true")

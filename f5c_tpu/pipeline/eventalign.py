@@ -866,9 +866,8 @@ def run_eventalign(pipe, args, out=sys.stdout):
                                    rna))
             elif sam:
                 out.write(emit_sam(recs, r, contig, ref_len,
-                                   pipe.opt.sam_out_version
-                                   if hasattr(pipe.opt, "sam_out_version")
-                                   else 2, rna))
+                                   getattr(args, "sam_out_version", 2),
+                                   rna))
             elif m6anet:
                 out.write(emit_m6anet_tsv(
                     recs, r, pipe.model, contig, recs.ref_disamb,

@@ -307,9 +307,17 @@ class Pipeline:
                     signal_path=path))
                 bases += len(seq)
                 if len(batch) >= opt.batch_reads or bases >= opt.batch_bases:
+                    if opt.verbose >= 1:
+                        sys.stderr.write(
+                            f"[f5c-tpu] {len(batch)} entries "
+                            f"({bases/1e6:.1f}M bases) loaded\n")
                     yield self._load_batch(pool, batch, keep_raw)
                     batch, bases = [], 0
             if batch:
+                if opt.verbose >= 1:
+                    sys.stderr.write(
+                        f"[f5c-tpu] {len(batch)} entries "
+                        f"({bases/1e6:.1f}M bases) loaded\n")
                 yield self._load_batch(pool, batch, keep_raw)
         finally:
             if pool is not None:
