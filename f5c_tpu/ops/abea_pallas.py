@@ -91,7 +91,7 @@ def unpack_sideband(trace):
 
 def _fill_kernel(n_events_ref, n_kmers_ref, scal_ref,
                  ev_rev_ref, kmean_ref, kstdv_ref, klog_ref,
-                 trace_ref, prev_ref, prev2_ref, chunk_ref, sems):
+                 trace_ref, chunk_ref, sems):
     b = pl.program_id(0)
     n_events = n_events_ref[b]
     n_kmers = n_kmers_ref[b]
@@ -266,19 +266,17 @@ def abea_fill_pallas(batch: AbeaBatch, ev_rev: jnp.ndarray, n_bands: int,
         ],
         # ANY-space outputs must be whole-array; the kernel DMAs into its
         # own read's rows via program_id
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
-            pltpu.VMEM((1, PAD), jnp.float32),
-            pltpu.VMEM((1, PAD), jnp.float32),
             pltpu.VMEM((CHUNK, PAD), jnp.int32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
 
     def kernel(n_ev, n_km, scal_r, ev_rev_r, kmean, kstdv, klog,
-               trace, prev, prev2, chunk, sems):
+               trace, chunk, sems):
         _fill_kernel(n_ev, n_km, scal_r, ev_rev_r, kmean, kstdv,
-                     klog, trace, prev, prev2, chunk, sems)
+                     klog, trace, chunk, sems)
 
     trace = pl.pallas_call(
         kernel,

@@ -36,7 +36,7 @@ from ..constants import (
     MAX_EVENTS_PER_BASE,
     MIN_CALIBRATION_VAR,
 )
-from ..io.bam import BamReader, passes_load_filters
+from ..io.bam import BamReader
 from ..io.fasta import FastaIndex
 from ..io.readdb import ReadDB
 from ..models import builtin_model, load_model_file
