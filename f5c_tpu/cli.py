@@ -174,6 +174,11 @@ def main(argv=None):
     p.add_argument("--kmer-model")
     p.add_argument("-t", "--threads", type=int, default=None)
     p.add_argument("-K", "--batchsize", type=int, default=512)
+    p.add_argument("-B", "--max-bases", type=_kmg, default=None,
+                   help="max bases per batch (compat; resquiggle batches "
+                        "by read count)")
+    p.add_argument("-x", "--profile", default=None,
+                   help="parameter preset (see call-methylation -x)")
     p.add_argument("-c", "--paf", action="store_true",
                    help="PAF output with ss string (default TSV)")
     p.add_argument("--device", choices=["auto", "cpu"], default="auto")

@@ -32,6 +32,10 @@ def _make_pipeline_bare(args):
                   kmer_model_path=getattr(args, "kmer_model", None),
                   batch_reads=getattr(args, "batchsize", 512),
                   device=getattr(args, "device", "auto"))
+    if getattr(args, "profile", None):
+        from ..profiles import apply_profile
+
+        apply_profile(opt, args.profile)
     if getattr(args, "threads", None):
         opt.num_proc = args.threads
     if opt.kmer_model_path:

@@ -448,16 +448,22 @@ class Pipeline:
             import jax
             import jax.numpy as jnp
 
-            from ..ops.abea_pallas import (CHUNK, abea_fill_pallas,
-                                           make_ev_rev, unpack_sideband)
+            from ..ops.abea_pallas import (CHUNK, make_ev_rev,
+                                           unpack_sideband)
+            from ..ops.abea_pallas8 import R as READS_PER_STEP
+            from ..ops.abea_pallas8 import abea_fill_pallas8
 
-            if len(todo) == 1:
-                # a grid=(1,) Pallas launch wedges the tunnelled chip;
-                # duplicate the single read and discard the copy
+            pad_rows = (-len(todo)) % READS_PER_STEP
+            if pad_rows:
+                # the 8-read kernel wants a multiple of 8; duplicating the
+                # last read also avoids the grid=(1,) launch that wedges
+                # the tunnelled chip
                 dbatch = jax.tree.map(
-                    lambda a: jnp.concatenate([a, a], axis=0), dbatch)
+                    lambda a: jnp.concatenate(
+                        [a, jnp.repeat(a[-1:], pad_rows, axis=0)], axis=0),
+                    dbatch)
             nb = ((n_bands + CHUNK - 1) // CHUNK) * CHUNK
-            trace = abea_fill_pallas(dbatch, make_ev_rev(dbatch), nb)
+            trace = abea_fill_pallas8(dbatch, make_ev_rev(dbatch), nb)
             fill_out = (trace,) + tuple(unpack_sideband(trace))
         else:
             fill_out = abea.abea_fill(dbatch, n_bands)
