@@ -271,6 +271,29 @@ def _shift8(rows, s: int, lane8):
     return jnp.where(lane8 == 0, NEG_INF, rolled)
 
 
+@functools.partial(jax.jit, static_argnames=("E", "K", "n_bands",
+                                             "max_pairs"))
+def abea_align_device(ev_concat, ev_off, ev_len, rank_concat, rk_off,
+                      rk_len, level_mean, level_stdv, level_log_stdv,
+                      scale, shift, lp_stay, lp_step, lp_skip, lp_trim,
+                      E: int, K: int, n_bands: int, max_pairs: int):
+    """One-dispatch ABEA: on-device batch expansion -> 8-read Pallas fill
+    -> sideband unpack -> packed backtrace.  Fusing the stages into one
+    jit saves the per-call round trips that dominate on a tunnelled chip.
+    B (= ev_off.shape[0]) must be a multiple of 8."""
+    from .abea import abea_backtrace_packed, expand_batch_device
+    from .abea_pallas import unpack_sideband
+
+    batch = expand_batch_device(
+        ev_concat, ev_off, ev_len, rank_concat, rk_off, rk_len,
+        level_mean, level_stdv, level_log_stdv, scale, shift, lp_stay,
+        lp_step, lp_skip, lp_trim, E=E, K=K)
+    ev_rev = jnp.flip(batch.event_means, axis=1)
+    trace = abea_fill_pallas8(batch, ev_rev, n_bands)
+    fill_out = (trace,) + tuple(unpack_sideband(trace))
+    return abea_backtrace_packed(fill_out, batch, max_pairs)
+
+
 @functools.partial(jax.jit, static_argnames=("n_bands", "interpret"))
 def abea_fill_pallas8(batch: AbeaBatch, ev_rev: jnp.ndarray, n_bands: int,
                       interpret: bool = False):

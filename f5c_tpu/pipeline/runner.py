@@ -376,13 +376,11 @@ class Pipeline:
                              jnp.asarray(m.level_log_stdv))
         return self._nuc_dev
 
-    def _make_abea_batch(self, todo, ranks, E, K):
-        """Padded AbeaBatch, assembled on device from flat concat arrays
-        (compact host->device transfer)."""
-        import jax.numpy as jnp
-
+    def _abea_concat_arrays(self, todo, ranks, pad_to: int = 1):
+        """Flat concatenated per-read host arrays for the on-device batch
+        expansion; B is padded to a multiple of pad_to by repeating the
+        last read's metadata (its padded copies share the concat data)."""
         from ..constants import ABEA_EPSILON_SKIP, ABEA_LP_TRIM_P
-        from ..ops import abea
 
         B = len(todo)
         ev = [r.event_means for r in todo]
@@ -402,8 +400,29 @@ class Pipeline:
         p_stay = 1.0 - 1.0 / (epk + 1.0)
         lp_stay = np.log(p_stay).astype(np.float32)
         lp_step = np.log(1.0 - ABEA_EPSILON_SKIP - p_stay).astype(np.float32)
-        lp_skip = np.full(B, np.log(ABEA_EPSILON_SKIP), dtype=np.float32)
-        lp_trim = np.full(B, np.log(ABEA_LP_TRIM_P), dtype=np.float32)
+        pad = (-B) % pad_to
+        if pad:
+            def rep(a):
+                return np.concatenate([a, np.repeat(a[-1:], pad, axis=0)])
+            ev_len, ev_off, rk_len, rk_off, scale, shift, lp_stay, \
+                lp_step = map(rep, (ev_len, ev_off, rk_len, rk_off, scale,
+                                    shift, lp_stay, lp_step))
+        Bp = B + pad
+        lp_skip = np.full(Bp, np.log(ABEA_EPSILON_SKIP), dtype=np.float32)
+        lp_trim = np.full(Bp, np.log(ABEA_LP_TRIM_P), dtype=np.float32)
+        return (ev_concat, ev_off, ev_len, rk_concat, rk_off, rk_len,
+                scale, shift, lp_stay, lp_step, lp_skip, lp_trim)
+
+    def _make_abea_batch(self, todo, ranks, E, K):
+        """Padded AbeaBatch, assembled on device from flat concat arrays
+        (compact host->device transfer)."""
+        import jax.numpy as jnp
+
+        from ..ops import abea
+
+        (ev_concat, ev_off, ev_len, rk_concat, rk_off, rk_len, scale,
+         shift, lp_stay, lp_step, lp_skip, lp_trim) = (
+            self._abea_concat_arrays(todo, ranks))
         lm, ls, ll = self._nuc_dev_tables()
         return abea.expand_batch_device(
             jnp.asarray(ev_concat), jnp.asarray(ev_off),
@@ -441,34 +460,34 @@ class Pipeline:
                      for r in todo]
         E = _bucket(max(r.event_means.shape[0] for r in todo))
         K = _bucket(max(k.shape[0] for k in ranks))
-        dbatch = self._make_abea_batch(todo, ranks, E, K)
         n_bands = E + K + 2
         max_pairs = E + K
         if self._use_pallas():
-            import jax
             import jax.numpy as jnp
 
-            from ..ops.abea_pallas import (CHUNK, make_ev_rev,
-                                           unpack_sideband)
+            from ..ops.abea_pallas import CHUNK
             from ..ops.abea_pallas8 import R as READS_PER_STEP
-            from ..ops.abea_pallas8 import abea_fill_pallas8
+            from ..ops.abea_pallas8 import abea_align_device
 
-            pad_rows = (-len(todo)) % READS_PER_STEP
-            if pad_rows:
-                # the 8-read kernel wants a multiple of 8; duplicating the
-                # last read also avoids the grid=(1,) launch that wedges
-                # the tunnelled chip
-                dbatch = jax.tree.map(
-                    lambda a: jnp.concatenate(
-                        [a, jnp.repeat(a[-1:], pad_rows, axis=0)], axis=0),
-                    dbatch)
+            arrays = self._abea_concat_arrays(todo, ranks,
+                                              pad_to=READS_PER_STEP)
+            lm, ls, ll = self._nuc_dev_tables()
             nb = ((n_bands + CHUNK - 1) // CHUNK) * CHUNK
-            trace = abea_fill_pallas8(dbatch, make_ev_rev(dbatch), nb)
-            fill_out = (trace,) + tuple(unpack_sideband(trace))
+            (ev_concat, ev_off, ev_len, rk_concat, rk_off, rk_len, scale,
+             shift, lp_stay, lp_step, lp_skip, lp_trim) = arrays
+            packed, start_e, n, sum_em, max_gap, failed = abea_align_device(
+                jnp.asarray(ev_concat), jnp.asarray(ev_off),
+                jnp.asarray(ev_len), jnp.asarray(rk_concat),
+                jnp.asarray(rk_off), jnp.asarray(rk_len), lm, ls, ll,
+                jnp.asarray(scale), jnp.asarray(shift),
+                jnp.asarray(lp_stay), jnp.asarray(lp_step),
+                jnp.asarray(lp_skip), jnp.asarray(lp_trim),
+                E=E, K=K, n_bands=nb, max_pairs=max_pairs)
         else:
+            dbatch = self._make_abea_batch(todo, ranks, E, K)
             fill_out = abea.abea_fill(dbatch, n_bands)
-        packed, start_e, n, sum_em, max_gap, failed = (
-            abea.abea_backtrace_packed(fill_out, dbatch, max_pairs))
+            packed, start_e, n, sum_em, max_gap, failed = (
+                abea.abea_backtrace_packed(fill_out, dbatch, max_pairs))
         packed = np.asarray(packed)
         start_e = np.asarray(start_e)
         n = np.asarray(n)
