@@ -131,6 +131,9 @@ def main(argv=None):
     p.add_argument("-d", "--directory", action="append", default=[],
                    help="FAST5 directory (repeatable)")
     p.add_argument("--slow5", help="SLOW5/BLOW5 signal file")
+    p.add_argument("-s", "--summary", action="append", default=[],
+                   help="basecaller sequencing summary (repeatable; "
+                        "avoids the FAST5 scan)")
     p.add_argument("--iop", type=int, default=1,
                    help="parallel scan processes (compat; scanning is "
                         "already parallel)")
@@ -191,7 +194,8 @@ def main(argv=None):
         from .io.readdb import ReadDB
 
         db = ReadDB(args.reads)
-        db.build(fast5_dirs=args.directory or None, slow5_path=args.slow5)
+        db.build(fast5_dirs=args.directory or None, slow5_path=args.slow5,
+                 sequencing_summary=args.summary or None)
         if args.slow5:
             from .io.slow5 import Slow5File
 

@@ -26,7 +26,8 @@ class ReadDB:
 
     # -- build (the `index` subcommand) -------------------------------
     def build(self, fast5_dirs: list[str] | None = None,
-              slow5_path: str | None = None):
+              slow5_path: str | None = None,
+              sequencing_summary: list[str] | None = None):
         """Create .index (bgzf fasta), .fai, and .readdb."""
         with BgzfWriter(self.index_path) as w:
             for name, seq, _ in read_fastx(self.reads_path):
@@ -39,7 +40,16 @@ class ReadDB:
                         f"{e.line_bytes}\n")
         paths: dict[str, str] = {}
         if fast5_dirs:
-            mapping = scan_fast5_dirs(fast5_dirs)
+            mapping = {}
+            if sequencing_summary:
+                for ss in sequencing_summary:
+                    mapping.update(parse_sequencing_summary(ss, fast5_dirs))
+                # reads not covered by the summaries fall back to the scan
+                missing = [rid for rid in fa.entries if rid not in mapping]
+            else:
+                missing = list(fa.entries)
+            if missing:
+                mapping.update(scan_fast5_dirs(fast5_dirs))
             for rid in fa.entries:
                 if rid in mapping:
                     paths[rid] = mapping[rid]
@@ -77,6 +87,44 @@ class ReadDB:
         if self._fa is None:
             self.load()
         return read_id in self._fa.entries
+
+
+def parse_sequencing_summary(path: str, fast5_dirs: list[str]
+                             ) -> dict[str, str]:
+    """read_id -> FAST5 path from a basecaller sequencing summary
+    (index.c:209-254: needs a 'read_id' column and a 'filename' or
+    'filename_fast5' column; filenames resolve against the FAST5 dirs)."""
+    import gzip
+
+    op = gzip.open if path.endswith(".gz") else open
+    # filename -> full path lookup over the provided directories
+    by_name: dict[str, str] = {}
+    for d in fast5_dirs:
+        for root, _dirs, files in os.walk(d):
+            for fn in files:
+                if fn.endswith(".fast5"):
+                    by_name[fn] = os.path.join(root, fn)
+    mapping: dict[str, str] = {}
+    with op(path, "rt") as f:
+        header = f.readline().rstrip("\n").split("\t")
+        try:
+            rid_idx = header.index("read_id")
+        except ValueError:
+            raise ValueError(f"{path}: no read_id column") from None
+        fn_idx = None
+        for cand in ("filename", "filename_fast5"):
+            if cand in header:
+                fn_idx = header.index(cand)
+        if fn_idx is None:
+            raise ValueError(f"{path}: no filename column")
+        for line in f:
+            cols = line.rstrip("\n").split("\t")
+            if len(cols) <= max(rid_idx, fn_idx):
+                continue
+            full = by_name.get(os.path.basename(cols[fn_idx]))
+            if full:
+                mapping[cols[rid_idx]] = full
+    return mapping
 
 
 def scan_fast5_dirs(dirs: list[str]) -> dict[str, str]:
