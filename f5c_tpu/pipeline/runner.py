@@ -400,10 +400,17 @@ class Pipeline:
         p_stay = 1.0 - 1.0 / (epk + 1.0)
         lp_stay = np.log(p_stay).astype(np.float32)
         lp_step = np.log(1.0 - ABEA_EPSILON_SKIP - p_stay).astype(np.float32)
-        pad = (-B) % pad_to
+        if pad_to > 1:
+            # power-of-two read-count buckets bound recompiles across
+            # sub-batches; padding uses the smallest read (cheap fills)
+            pad = _bucket(B, minimum=pad_to) - B
+        else:
+            pad = 0
         if pad:
+            # pad with copies of the FIRST read (the smallest when the
+            # caller sorts by length): padded rows burn fill steps
             def rep(a):
-                return np.concatenate([a, np.repeat(a[-1:], pad, axis=0)])
+                return np.concatenate([a, np.repeat(a[:1], pad, axis=0)])
             ev_len, ev_off, rk_len, rk_off, scale, shift, lp_stay, \
                 lp_step = map(rep, (ev_len, ev_off, rk_len, rk_off, scale,
                                     shift, lp_stay, lp_step))
@@ -432,17 +439,21 @@ class Pipeline:
             jnp.asarray(lp_step), jnp.asarray(lp_skip),
             jnp.asarray(lp_trim), E=E, K=K)
 
+    # device trace memory budget: B_sub * n_bands * 128 lanes * 4 bytes
+    # must fit comfortably in HBM (the reference sizes its GPU arena the
+    # same way, f5c.cu:110-157); tunable via F5C_TPU_TRACE_BYTES
+    TRACE_BYTES_BUDGET = int(os.environ.get("F5C_TPU_TRACE_BYTES",
+                                            4_000_000_000))
+
     def align_batch(self, batch: list[ReadRecord]):
         """ABEA on device for all loadable reads; fills pairs + scaling.
 
-        Device output is the compact backtrace contract (packed 2-bit walk
-        + start cell + QC scalars); pairs are reconstructed host-side in
-        the native postalign pass.
+        Reads are sorted by event count and split into length-binned
+        sub-batches under a device trace-memory budget, so one huge batch
+        neither pads every read to the global maximum nor overflows HBM.
         """
         from .. import native
-        from ..ops import abea
 
-        t0 = time.time()
         todo = []
         for r in batch:
             if r.status or r.event_means is None:
@@ -453,11 +464,38 @@ class Pipeline:
             todo.append(r)
         if not todo:
             return
+        todo.sort(key=lambda r: r.n_events)
         if native.available():
-            ranks = [native.kmer_ranks(r.seq, self.model.k) for r in todo]
+            ranks = {id(r): native.kmer_ranks(r.seq, self.model.k)
+                     for r in todo}
         else:
-            ranks = [self.model.kmer_ranks(r.seq).astype(np.int32)
-                     for r in todo]
+            ranks = {id(r): self.model.kmer_ranks(r.seq).astype(np.int32)
+                     for r in todo}
+        sub: list[ReadRecord] = []
+        for r in todo:
+            cand = sub + [r]
+            E = _bucket(max(x.n_events for x in cand))
+            K = _bucket(max(len(x.seq) for x in cand) - self.model.k + 1)
+            nb = E + K + 2
+            b_pad = _bucket(len(cand), minimum=8)
+            if sub and b_pad * nb * 128 * 4 > self.TRACE_BYTES_BUDGET:
+                self._align_subbatch(sub, [ranks[id(x)] for x in sub])
+                sub = [r]
+            else:
+                sub = cand
+        if sub:
+            self._align_subbatch(sub, [ranks[id(x)] for x in sub])
+
+    def _align_subbatch(self, todo: list[ReadRecord], ranks: list):
+        """One padded device ABEA launch + native postalign.
+
+        Device output is the compact backtrace contract (packed 2-bit walk
+        + start cell + QC scalars); pairs are reconstructed host-side in
+        the native postalign pass.
+        """
+        from ..ops import abea
+
+        t0 = time.time()
         E = _bucket(max(r.event_means.shape[0] for r in todo))
         K = _bucket(max(k.shape[0] for k in ranks))
         n_bands = E + K + 2
