@@ -234,6 +234,139 @@ def hmm_forward_batch(batch: HmmBatch, pad_events: int,
              batch.lp_stay, batch.lp_step)
 
 
+SEG = 32          # lanes per packed window
+SEGS = 4          # windows per 128-lane row
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("pad_events", "allow_pre", "allow_post"))
+def hmm_forward_packed4(ranks, n_kmers, ev_concat, ev_start, ev_stride,
+                        n_events, scale, shift, var, lp_stay, lp_step,
+                        level_mean, level_stdv, level_log_stdv,
+                        pad_events: int, allow_pre: bool = True,
+                        allow_post: bool = True):
+    """Forward scores with FOUR windows packed per 128-lane row.
+
+    Most CpG-group windows are ~16-26 kmers; giving each its own 128-lane
+    row wastes 6/8 of the VPU.  Here windows of <= 32 kmers occupy 32-lane
+    segments: the within-row shifts mask the segment boundaries, and the
+    KMER_SKIP chain's log-cumsum-exp is segmented by subtracting the
+    global running sum at each boundary (exact — every term is scaled by
+    its own segment's max).
+
+    Shapes: ranks [N, 128] (4 windows' ranks at lanes 32w..32w+31); all
+    per-window scalars [N, 4].  Returns scores f32 [N, 4].
+    """
+    N = ranks.shape[0]
+    lane = jnp.arange(SEG * SEGS, dtype=jnp.int32)[None, :]
+    kseg = lane % SEG                       # kmer index within the window
+
+    def rep(x):
+        """[N, 4] -> [N, 128] per-segment broadcast."""
+        return jnp.repeat(x, SEG, axis=1)
+
+    r = ranks.astype(jnp.int32)
+    scale_l = rep(scale)
+    shift_l = rep(shift)
+    var_l = rep(var)
+    gp_mean = scale_l * level_mean[r] + shift_l
+    sd = level_stdv[r] * var_l
+    gp_inv = jnp.float32(1.0) / sd
+    gp_log = level_log_stdv[r] + jnp.log(var_l)
+    n_k_l = rep(n_kmers)
+    n_ev_l = rep(n_events)
+    lp_stay_l = rep(lp_stay)
+    lp_step_l = rep(lp_step)
+    in_window = kseg < n_k_l
+    last_k = kseg == (n_k_l - 1)
+
+    def shift_prev(x):
+        rolled = jnp.concatenate(
+            [jnp.full((N, 1), NEG_INF), x[:, :-1]], axis=1)
+        return jnp.where(kseg == 0, NEG_INF, rolled)
+
+    def seg_max(x):
+        return rep(jnp.max(x.reshape(N, SEGS, SEG), axis=-1))
+
+    def seg_prefix(x):
+        """Global cumsum value at the previous segment boundary."""
+        b = x.reshape(N, SEGS, SEG)[:, :, SEG - 1]       # [N, 4]
+        p = jnp.concatenate([jnp.zeros((N, 1), x.dtype), b[:, :-1]],
+                            axis=1)
+        return rep(p)
+
+    def step(carry, row_minus_1):
+        M, B, K, lp_end = carry
+        e4 = ev_concat[jnp.clip(ev_start + row_minus_1 * ev_stride, 0,
+                                ev_concat.shape[0] - 1)]
+        e = rep(e4)
+        a = (e - gp_mean) * gp_inv
+        lp_em = LOG_INV_SQRT_2PI - gp_log + jnp.float32(-0.5) * a * a
+
+        Mp = shift_prev(M)
+        Bp = shift_prev(B)
+        Kp = shift_prev(K)
+
+        t0 = lp_stay_l + M
+        t1 = lp_step_l + Mp
+        t2 = jnp.float32(_LP_B3) + B
+        t3 = jnp.float32(_LP_B3) + Bp
+        t4 = jnp.float32(_LP_KM) + Kp
+        mx = jnp.maximum(jnp.maximum(jnp.maximum(t0, t1),
+                                     jnp.maximum(t2, t3)), t4)
+        mx_s = jnp.where(jnp.isneginf(mx), jnp.float32(0.0), mx)
+        ssum = (jnp.exp(t0 - mx_s) + jnp.exp(t1 - mx_s)
+                + jnp.exp(t2 - mx_s) + jnp.exp(t3 - mx_s)
+                + jnp.exp(t4 - mx_s))
+        m_new = jnp.where(jnp.isneginf(mx), NEG_INF, mx_s + jnp.log(ssum))
+        pre = _pre_flank(row_minus_1)
+        soft_ok = allow_pre or (row_minus_1 == 0)
+        m_new = jnp.where((kseg == 0) & soft_ok,
+                          _logaddexp(m_new, pre), m_new)
+        m_new = m_new + lp_em
+
+        b_new = _logaddexp(jnp.float32(_LP_MB) + M,
+                           jnp.float32(_LP_BB) + B)
+
+        # segmented kmer-skip chain; out-of-window lanes are masked BEFORE
+        # the chain — their garbage values would otherwise dominate the
+        # segment max and the cross-segment prefix subtraction would
+        # cancel the (then denormal-tiny) valid terms catastrophically
+        c = _logaddexp(jnp.float32(_LP_MK) + shift_prev(m_new),
+                       jnp.float32(_LP_B3) + shift_prev(b_new))
+        c = jnp.where(in_window, c, NEG_INF)
+        g = jnp.float32(_LP_KK)
+        d = c - kseg.astype(jnp.float32) * g
+        m_seg = seg_max(d)
+        m_safe = jnp.where(jnp.isneginf(m_seg), jnp.float32(0.0), m_seg)
+        e_seg = jnp.exp(d - m_safe)
+        s_seg = jnp.cumsum(e_seg.reshape(N, SEGS, SEG),
+                           axis=-1).reshape(N, SEGS * SEG)
+        k_new = jnp.where(s_seg > 0,
+                          kseg.astype(jnp.float32) * g + jnp.log(s_seg)
+                          + m_safe, NEG_INF)
+
+        active = row_minus_1 < n_ev_l
+        M = jnp.where(active, m_new, M)
+        B = jnp.where(active, b_new, B)
+        K = jnp.where(active, k_new, K)
+
+        do_end = active & (allow_post | (row_minus_1 == n_ev_l - 1))
+        pf = _post_flank(row_minus_1, n_ev_l)
+        end_add = _logaddexp(_logaddexp(M, B), K) + pf
+        lp_end = jnp.where(do_end & last_k & in_window,
+                           _logaddexp(lp_end, end_add), lp_end)
+        return (M, B, K, lp_end), None
+
+    shape = (N, SEG * SEGS)
+    init = (jnp.full(shape, NEG_INF), jnp.full(shape, NEG_INF),
+            jnp.full(shape, NEG_INF), jnp.full(shape, NEG_INF))
+    (M, B, K, lp_end), _ = jax.lax.scan(
+        step, init, jnp.arange(pad_events, dtype=jnp.int32))
+    # only each window's last-kmer lane accumulated; others stayed -inf
+    return jnp.max(lp_end.reshape(N, SEGS, SEG), axis=-1)
+
+
 # --- Viterbi (eventalign re-alignment) -------------------------------------
 #
 # Same 3-state-per-kmer profile HMM in the max-plus semiring, plus movement

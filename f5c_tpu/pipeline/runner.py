@@ -731,38 +731,75 @@ class Pipeline:
         it_shift = read_shift[it_read]
         it_var = read_var[it_read]
 
+        from ..ops.hmm import hmm_forward_packed4
+
         scores = np.zeros(n_items, dtype=np.float32)
         size_keys = np.array([_ebucket(int(s)) for s in sizes])
         pending = []   # dispatch every bucket async, sync once at the end
         for pad_e in np.unique(size_keys):
-            idxs = np.nonzero(size_keys == pad_e)[0]
-            pad_k = _bucket(int(ksizes[idxs].max()), minimum=128)
-            n_sub = idxs.shape[0]
-            n_pad = _nbucket(n_sub)
-            ranks, n_km = native.hmm_window_ranks(
-                n_sub, n_pad, pad_k, k, ref_concat, ref_off,
-                it_read[idxs], it_sub_start[idxs], it_sub_end[idxs],
-                it_meth[idxs], read_rc, self.cpg_model.num_kmers)
+            bidx = np.nonzero(size_keys == pad_e)[0]
+            # windows of <= 32 kmers (the vast majority) pack 4 per
+            # 128-lane row; wider windows take a full row each
+            small = bidx[ksizes[bidx] <= 32]
+            large = bidx[ksizes[bidx] > 32]
+            if small.size:
+                n_sub = small.shape[0]
+                n4 = _nbucket((n_sub + 3) // 4)
+                n_alloc = 4 * n4
+                ranks, n_km = native.hmm_window_ranks(
+                    n_sub, n_alloc, 32, k, ref_concat, ref_off,
+                    it_read[small], it_sub_start[small],
+                    it_sub_end[small], it_meth[small], read_rc,
+                    self.cpg_model.num_kmers)
+                ranks = ranks.reshape(n4, 128)
 
-            def _pad1(a, fill=0):
-                out = np.full(n_pad, fill, dtype=a.dtype)
-                out[:n_sub] = a[idxs]
-                return out
+                def _pad4(a, fill=0, idxs=small, n_alloc=n_alloc, n4=n4):
+                    out = np.full(n_alloc, fill, dtype=a.dtype)
+                    out[:idxs.shape[0]] = a[idxs]
+                    return out.reshape(n4, 4)
 
-            s = hmm_forward_packed(
-                jnp.asarray(ranks), jnp.asarray(n_km), ev_pool,
-                jnp.asarray(_pad1(it_ev_start)),
-                jnp.asarray(_pad1(it_stride, fill=1)),
-                jnp.asarray(_pad1(it_n_ev)),
-                jnp.asarray(_pad1(it_scale, fill=1)),
-                jnp.asarray(_pad1(it_shift)),
-                jnp.asarray(_pad1(it_var, fill=1)),
-                jnp.asarray(_pad1(it_lp_stay)),
-                jnp.asarray(_pad1(it_lp_step)),
-                lm_dev, ls_dev, ll_dev, pad_events=int(pad_e))
-            pending.append((idxs, n_sub, s))
+                s = hmm_forward_packed4(
+                    jnp.asarray(ranks),
+                    jnp.asarray(n_km.reshape(n4, 4)), ev_pool,
+                    jnp.asarray(_pad4(it_ev_start)),
+                    jnp.asarray(_pad4(it_stride, fill=1)),
+                    jnp.asarray(_pad4(it_n_ev)),
+                    jnp.asarray(_pad4(it_scale, fill=1)),
+                    jnp.asarray(_pad4(it_shift)),
+                    jnp.asarray(_pad4(it_var, fill=1)),
+                    jnp.asarray(_pad4(it_lp_stay)),
+                    jnp.asarray(_pad4(it_lp_step)),
+                    lm_dev, ls_dev, ll_dev, pad_events=int(pad_e))
+                pending.append((small, n_sub, s))
+            if large.size:
+                idxs = large
+                pad_k = _bucket(int(ksizes[idxs].max()), minimum=128)
+                n_sub = idxs.shape[0]
+                n_pad = _nbucket(n_sub)
+                ranks, n_km = native.hmm_window_ranks(
+                    n_sub, n_pad, pad_k, k, ref_concat, ref_off,
+                    it_read[idxs], it_sub_start[idxs], it_sub_end[idxs],
+                    it_meth[idxs], read_rc, self.cpg_model.num_kmers)
+
+                def _pad1(a, fill=0, idxs=idxs, n_pad=n_pad):
+                    out = np.full(n_pad, fill, dtype=a.dtype)
+                    out[:idxs.shape[0]] = a[idxs]
+                    return out
+
+                s = hmm_forward_packed(
+                    jnp.asarray(ranks), jnp.asarray(n_km), ev_pool,
+                    jnp.asarray(_pad1(it_ev_start)),
+                    jnp.asarray(_pad1(it_stride, fill=1)),
+                    jnp.asarray(_pad1(it_n_ev)),
+                    jnp.asarray(_pad1(it_scale, fill=1)),
+                    jnp.asarray(_pad1(it_shift)),
+                    jnp.asarray(_pad1(it_var, fill=1)),
+                    jnp.asarray(_pad1(it_lp_stay)),
+                    jnp.asarray(_pad1(it_lp_step)),
+                    lm_dev, ls_dev, ll_dev, pad_events=int(pad_e))
+                pending.append((idxs, n_sub, s))
         for idxs, n_sub, s in pending:
-            scores[idxs] = np.asarray(s)[:n_sub]
+            scores[idxs] = np.asarray(s).reshape(-1)[:n_sub]
         self.stage_time["hmm"] += time.time() - t0
 
         # aggregate into ScoredSites (kept per read in batch order)
