@@ -834,7 +834,8 @@ def run_eventalign(pipe, args, out=sys.stdout):
     elif m6anet:
         out.write(m6anet_header(print_rn, signal_index))
 
-    engine = EventalignEngine(pipe.model)
+    engine = EventalignEngine(pipe.model, region_start=pipe.clip_start,
+                              region_end=pipe.clip_end)
     keep_raw = samples or collapse
     for batch in pipe.batches_prefetched(keep_raw=keep_raw):
         pipe.align_batch(batch)
