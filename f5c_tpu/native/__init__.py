@@ -47,7 +47,7 @@ def _build() -> str:
     tmp = _LIB_PATH + f".tmp{os.getpid()}"
     # -ffp-contract=off: no FMA contraction — results must be bit-identical
     # to the NumPy oracles (strict IEEE f32/f64 op-for-op)
-    cmd = ["g++", "-O2", "-std=c++17", "-shared", "-fPIC",
+    cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC",
            "-march=native", "-ffp-contract=off", _SRC, "-o", tmp]
     subprocess.run(cmd, check=True, capture_output=True)
     os.replace(tmp, _LIB_PATH)

@@ -869,9 +869,7 @@ int64_t f5c_viterbi_chunk(
     uint8_t* movements_out) {
   const float NEGINF = -INFINITY;
   int64_t n_rows = n_events + 1;
-  int64_t n_states = 3 * (n_kmers + 2);
-  std::vector<float> vm(n_rows * n_states, NEGINF);
-  std::vector<uint8_t> bm(n_rows * n_states, 0);
+  int64_t nb = n_kmers + 2;   // blocks incl. terminal 0 and n_kmers+1
 
   // block transitions (hmm.c:237-307), identical for every block
   float p_stay = (float)(1.0 - (1.0 / events_per_base));
@@ -898,67 +896,97 @@ int64_t f5c_viterbi_chunk(
     gl[ki] = level_log_stdv[r] + log_var;
   }
 
+  // state PLANES (struct-of-arrays): the M/B pass over blocks is then
+  // data-parallel and auto-vectorizes; only the K chain stays scalar
+  std::vector<float> M(n_rows * nb, NEGINF), B(n_rows * nb, NEGINF),
+      K(n_rows * nb, NEGINF);
+  std::vector<uint8_t> bmM(n_rows * nb, 0), bmB(n_rows * nb, 0),
+      bmK(n_rows * nb, 0);
+  std::vector<float> em(n_kmers);
+
   for (int64_t row = 1; row < n_rows; row++) {
-    float* curr = vm.data() + row * n_states;
-    const float* prev = vm.data() + (row - 1) * n_states;
-    uint8_t* bmr = bm.data() + row * n_states;
+    float* Mc = M.data() + row * nb;
+    float* Bc = B.data() + row * nb;
+    float* Kc = K.data() + row * nb;
+    const float* Mp = M.data() + (row - 1) * nb;
+    const float* Bp = B.data() + (row - 1) * nb;
+    const float* Kp = K.data() + (row - 1) * nb;
+    uint8_t* bM = bmM.data() + row * nb;
+    uint8_t* bB = bmB.data() + row * nb;
+    uint8_t* bK = bmK.data() + row * nb;
     float e = ev_pool[e_start + (row - 1) * stride];
-    for (int64_t block = 1; block <= n_kmers; block++) {
-      int64_t ki = block - 1;
-      int64_t po = 3 * (block - 1), co = 3 * block;
+
+    for (int64_t ki = 0; ki < n_kmers; ki++) {
       float a = (e - gm[ki]) / gs[ki];
-      float lp_em = LOG_INV_SQRT_2PI - gl[ki] + (-0.5f * a * a);
+      em[ki] = LOG_INV_SQRT_2PI - gl[ki] + (-0.5f * a * a);
+    }
 
-      // MATCH: scores in HMT order; LAST equal index wins
-      float s[6];
-      s[0] = lp_mm_self + prev[co + VPS_M];
-      s[1] = lp_mm_next + prev[po + VPS_M];
-      s[2] = lp_b3 + prev[co + VPS_B];
-      s[3] = lp_b3 + prev[po + VPS_B];
-      s[4] = lp_km + prev[po + VPS_K];
-      s[5] = (ki == 0 && row == 1) ? pre0 : NEGINF;
-      float mx = s[0];
+    // MATCH + BAD_EVENT: vectorizable over blocks (prev-row deps only)
+    for (int64_t ki = 0; ki < n_kmers; ki++) {
+      int64_t blk = ki + 1;
+      float s0 = lp_mm_self + Mp[blk];
+      float s1 = lp_mm_next + Mp[blk - 1];
+      float s2 = lp_b3 + Bp[blk];
+      float s3 = lp_b3 + Bp[blk - 1];
+      float s4 = lp_km + Kp[blk - 1];
+      // HMT order with LAST equal index winning
+      float mx = s0;
       uint8_t frm = 0;
-      for (int i = 1; i < 6; i++) {
-        if (s[i] > mx) mx = s[i];
-        if (mx == s[i]) frm = (uint8_t)i;
-      }
-      curr[co + VPS_M] = mx + lp_em;
-      bmr[co + VPS_M] = frm;
+      mx = s1 > mx ? s1 : mx; frm = mx == s1 ? (uint8_t)1 : frm;
+      mx = s2 > mx ? s2 : mx; frm = mx == s2 ? (uint8_t)2 : frm;
+      mx = s3 > mx ? s3 : mx; frm = mx == s3 ? (uint8_t)3 : frm;
+      mx = s4 > mx ? s4 : mx; frm = mx == s4 ? (uint8_t)4 : frm;
+      Mc[blk] = mx + em[ki];
+      bM[blk] = frm;
 
-      // BAD_EVENT (emission 0); SAME_B wins ties over SAME_M
-      float b_m = lp_mb + prev[co + VPS_M];
-      float b_b = lp_bb + prev[co + VPS_B];
-      if (b_b >= b_m) {
-        curr[co + VPS_B] = b_b;
-        bmr[co + VPS_B] = VHMT_SAME_B;
-      } else {
-        curr[co + VPS_B] = b_m;
-        bmr[co + VPS_B] = VHMT_SAME_M;
-      }
+      float b_m = lp_mb + Mp[blk];
+      float b_b = lp_bb + Bp[blk];
+      Bc[blk] = b_b >= b_m ? b_b : b_m;
+      bB[blk] = b_b >= b_m ? (uint8_t)VHMT_SAME_B : (uint8_t)VHMT_SAME_M;
+    }
+    if (row == 1) {   // soft start into kmer 0 (HMT_FROM_SOFT, index 5)
+      float s5 = pre0;
+      // recompute block 1's MATCH including the soft term
+      float s0 = lp_mm_self + Mp[1];
+      float s1 = lp_mm_next + Mp[0];
+      float s2 = lp_b3 + Bp[1];
+      float s3 = lp_b3 + Bp[0];
+      float s4 = lp_km + Kp[0];
+      float mx = s0;
+      uint8_t frm = 0;
+      mx = s1 > mx ? s1 : mx; frm = mx == s1 ? (uint8_t)1 : frm;
+      mx = s2 > mx ? s2 : mx; frm = mx == s2 ? (uint8_t)2 : frm;
+      mx = s3 > mx ? s3 : mx; frm = mx == s3 ? (uint8_t)3 : frm;
+      mx = s4 > mx ? s4 : mx; frm = mx == s4 ? (uint8_t)4 : frm;
+      mx = s5 > mx ? s5 : mx; frm = mx == s5 ? (uint8_t)5 : frm;
+      Mc[1] = mx + em[0];
+      bM[1] = frm;
+    }
 
-      // KMER_SKIP: same row, previous block; PREV_K > PREV_B > PREV_M
-      float s1 = lp_mk + curr[po + VPS_M];
-      float s2 = lp_b3 + curr[po + VPS_B];
-      float s3 = lp_kk + curr[po + VPS_K];
+    // KMER_SKIP chain: same row, previous block (sequential, cheap)
+    for (int64_t blk = 1; blk <= n_kmers; blk++) {
+      float s1 = lp_mk + Mc[blk - 1];
+      float s2 = lp_b3 + Bc[blk - 1];
+      float s3 = lp_kk + Kc[blk - 1];
       float kmx = s1;
       uint8_t kf = VHMT_PREV_M;
       if (s2 >= kmx) { kmx = s2; kf = VHMT_PREV_B; }
       if (s3 >= kmx) { kmx = s3; kf = VHMT_PREV_K; }
-      curr[co + VPS_K] = kmx;
-      bmr[co + VPS_K] = kf;
+      Kc[blk] = kmx;
+      bK[blk] = kf;
     }
   }
 
   // backtrace from (last row, MATCH of last kmer block)
   int64_t n = 0;
   int64_t row = n_rows - 1;
-  int64_t col = 3 * n_kmers + VPS_M;
+  int64_t blk = n_kmers;
+  int ps = VPS_M;
   while (row > 0) {
-    int ps = (int)(col % 3);
-    int64_t block = col / 3;
-    int64_t kmer_idx = block - 1;
-    uint8_t mv = bm[row * n_states + col];
+    int64_t kmer_idx = blk - 1;
+    uint8_t mv = ps == VPS_M ? bmM[row * nb + blk]
+                 : ps == VPS_B ? bmB[row * nb + blk]
+                 : bmK[row * nb + blk];
     movements_out[n++] = mv;
     if (mv == VHMT_SOFT) break;
     if (mv == VHMT_PREV_M || mv == VHMT_PREV_B || mv == VHMT_PREV_K) {
@@ -968,7 +996,8 @@ int64_t f5c_viterbi_chunk(
                   : (mv == VHMT_SAME_B || mv == VHMT_PREV_B) ? VPS_B
                   : VPS_K;
     if (ps != VPS_K) row -= 1;
-    col = 3 * (kmer_idx + 1) + next_ps;
+    blk = kmer_idx + 1;
+    ps = next_ps;
   }
   return n;
 }
