@@ -52,6 +52,9 @@ def _add_common_meth_args(p):
                    help="process only reads with read_idx %% N == I "
                         "(multi-host data parallelism; merge outputs "
                         "with cat / freq-merge)")
+    p.add_argument("--profile-dir", default=None, metavar="DIR",
+                   help="write a JAX profiler trace of the run to DIR "
+                        "(view with TensorBoard/XProf)")
     p.add_argument("--print-events", action="store_true",
                    help="dump the event table (debug oracle)")
     p.add_argument("--print-banded-aln", action="store_true",
@@ -114,6 +117,19 @@ def _make_pipeline(args, meth_out_version=2):
 
 def _out_fh(spec):
     return sys.stdout if spec in ("-", None) else open(spec, "w")
+
+
+def _maybe_profile(args):
+    """jax profiler trace context for --profile-dir (the TPU analogue of
+    the reference's per-stage/CUDA-kernel timers, meth_main.c:749-796)."""
+    import contextlib
+
+    d = getattr(args, "profile_dir", None)
+    if not d:
+        return contextlib.nullcontext()
+    import jax
+
+    return jax.profiler.trace(d)
 
 
 def main(argv=None):
@@ -208,7 +224,8 @@ def main(argv=None):
     if args.cmd == "call-methylation":
         pipe = _make_pipeline(args, meth_out_version=args.meth_out_version)
         out = _out_fh(args.output)
-        pipe.call_methylation(out=out)
+        with _maybe_profile(args):
+            pipe.call_methylation(out=out)
         return pipe.report()
 
     if args.cmd == "eventalign":
@@ -216,7 +233,8 @@ def main(argv=None):
 
         pipe = _make_pipeline(args)
         out = _out_fh(args.output)
-        run_eventalign(pipe, args, out=out)
+        with _maybe_profile(args):
+            run_eventalign(pipe, args, out=out)
         return pipe.report()
 
     if args.cmd == "meth-freq":
