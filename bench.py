@@ -78,33 +78,42 @@ def setup_dataset(tmp: str, blow5: bool = False):
     return bam, genome, reads, len(names), slow5
 
 
-def run_once(bam, genome, reads, out_path, slow5=None):
+def run_once(bam, genome, reads, out_path, slow5=None, tool="meth"):
     from f5c_tpu.pipeline.runner import Options, Pipeline
 
     opt = Options(min_mapq=0, meth_out_version=1, slow5_path=slow5)
     pipe = Pipeline(bam, genome, reads, opt)
     t0 = time.time()
     with open(out_path, "w") as out:
-        pipe.call_methylation(out=out)
+        if tool == "meth":
+            pipe.call_methylation(out=out)
+        else:
+            from types import SimpleNamespace
+
+            from f5c_tpu.pipeline.eventalign import run_eventalign
+
+            run_eventalign(pipe, SimpleNamespace(), out=out)
     wall = time.time() - t0
     return wall, pipe
 
 
 def main():
+    tool = "eventalign" if "--tool=eventalign" in sys.argv else "meth"
     tmp = tempfile.mkdtemp(prefix="f5c_tpu_bench_")
     try:
         bam, genome, reads, n_reads, slow5 = setup_dataset(tmp, blow5=True)
         # warm-up run (JIT compile), then the measured run
         w0, _ = run_once(bam, genome, reads, os.path.join(tmp, "w.tsv"),
-                         slow5)
+                         slow5, tool)
         wall, pipe = run_once(bam, genome, reads, os.path.join(tmp, "m.tsv"),
-                              slow5)
+                              slow5, tool)
         n_proc = pipe.counters["processed"]
         bases = sum(
             e.length for e in
             __import__("f5c_tpu.io.fasta", fromlist=["FastaIndex"])
             .FastaIndex(reads).entries.values())
         reads_per_s = n_proc / wall
+        name = ("call-methylation" if tool == "meth" else "eventalign")
         print(
             f"[bench] warmup {w0:.1f}s measured {wall:.2f}s "
             f"{n_proc} reads {bases} bases "
@@ -112,7 +121,7 @@ def main():
             + " ".join(f"{k}={v:.2f}" for k, v in pipe.stage_time.items()),
             file=sys.stderr)
         print(json.dumps({
-            "metric": "ecoli_2kb_region call-methylation throughput",
+            "metric": f"ecoli_2kb_region {name} throughput",
             "value": round(reads_per_s, 2),
             "unit": "reads/s",
             "vs_baseline": round(reads_per_s / BASELINE, 3),
