@@ -330,9 +330,9 @@ def align_batch(batch: AbeaBatch, n_bands: int, max_pairs: int):
 # computing the base-to-event map, so the full pairs array never crosses
 # the device boundary.
 
-def _backtrace_packed_single(trace, ll_event, ll_kmer, last_col, ev, km, ks,
-                             kl, n_events, n_kmers, scale, shift, lp_trim,
-                             max_pairs: int):
+def _backtrace_packed_single(trace, ll_event, ll_kmer, last_col, ev,
+                             kparams, n_events, n_kmers, scale, shift,
+                             lp_trim, max_pairs: int):
     """Backtrace one read, compact output.
 
     Returns (dirs u8 [max_pairs] with values FROM_*, start_event i32,
@@ -350,11 +350,13 @@ def _backtrace_packed_single(trace, ll_event, ll_kmer, last_col, ev, km, ks,
     any_valid = s[best_band] > NEG_INF
 
     def emission_at(kmer_idx, event_idx):
+        # one 4-wide slice of the interleaved (mean, stdv, log_stdv, 0)
+        # row instead of three separate gathers — the walk is gather-bound
         emean = ev[event_idx + PAD]
-        gmean = scale * km[kmer_idx + PAD] + shift
-        a = (emean - gmean) / ks[kmer_idx + PAD]
-        return (LOG_INV_SQRT_2PI - kl[kmer_idx + PAD]
-                + jnp.float32(-0.5) * a * a)
+        p = jax.lax.dynamic_slice(kparams, (4 * (kmer_idx + PAD),), (4,))
+        gmean = scale * p[0] + shift
+        a = (emean - gmean) / p[1]
+        return LOG_INV_SQRT_2PI - p[2] + jnp.float32(-0.5) * a * a
 
     n_bands_i = trace.shape[0]
 
@@ -417,12 +419,15 @@ def abea_backtrace_packed(fill_out, batch: AbeaBatch, max_pairs: int):
     n_pairs i32 [B], sum_emission f32 [B], max_gap i32 [B],
     failed bool [B])."""
     trace, ll_event, ll_kmer, last_col = fill_out
+    B, KW = batch.kmer_mean.shape
+    kparams = jnp.stack(
+        [batch.kmer_mean, batch.kmer_stdv, batch.kmer_log_stdv,
+         jnp.zeros_like(batch.kmer_mean)], axis=-1).reshape(B, 4 * KW)
     f = jax.vmap(lambda *a: _backtrace_packed_single(*a,
                                                      max_pairs=max_pairs))
     return f(trace, ll_event, ll_kmer, last_col, batch.event_means,
-             batch.kmer_mean, batch.kmer_stdv, batch.kmer_log_stdv,
-             batch.n_events, batch.n_kmers, batch.scale, batch.shift,
-             batch.lp_trim)
+             kparams, batch.n_events, batch.n_kmers, batch.scale,
+             batch.shift, batch.lp_trim)
 
 
 def decode_packed_dirs(packed_row: np.ndarray, n: int, start_event: int,
