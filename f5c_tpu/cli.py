@@ -9,6 +9,7 @@ flags; accelerator flags select the JAX device instead of CUDA knobs.
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
 
@@ -173,6 +174,13 @@ def main(argv=None):
     p.add_argument("--collapse-events", action="store_true")
     p.add_argument("--print-read-names", action="store_true")
 
+    p = sub.add_parser("fast5-to-blow5",
+                       help="convert FAST5 files to one BLOW5 "
+                            "(zlib records + svb-zd signals)")
+    p.add_argument("-d", "--directory", action="append", required=True,
+                   help="FAST5 directory (repeatable)")
+    p.add_argument("-o", "--output", required=True, help="output .blow5")
+
     p = sub.add_parser("meth-freq", help="per-site methylation frequency")
     p.add_argument("-i", "--input", default="-")
     p.add_argument("-c", "--call-threshold", type=float, default=2.5)
@@ -236,6 +244,36 @@ def main(argv=None):
         with _maybe_profile(args):
             run_eventalign(pipe, args, out=out)
         return pipe.report()
+
+    if args.cmd == "fast5-to-blow5":
+        import glob as _glob
+
+        from .io.fast5 import Fast5File
+        from .io.slow5 import Slow5File, write_blow5
+
+        def signals():
+            n = 0
+            for d in args.directory:
+                for root, _dirs, files in os.walk(d):
+                    for fn in sorted(files):
+                        if not fn.endswith(".fast5"):
+                            continue
+                        try:
+                            with Fast5File(os.path.join(root, fn)) as f5:
+                                for rid in f5.read_ids():
+                                    yield f5.get_signal(rid)
+                                    n += 1
+                        except OSError as e:
+                            print(f"[f5c-tpu] skipping {fn}: {e}",
+                                  file=sys.stderr)
+
+        write_blow5(args.output, signals())
+        Slow5File(args.output).close()   # build the .idx
+        n_idx = len(Slow5File(args.output,
+                              create_index_if_missing=False).read_ids())
+        print(f"[f5c-tpu] wrote {n_idx} reads to {args.output} "
+              f"(+.idx) in {time.time()-t0:.1f}s", file=sys.stderr)
+        return 0
 
     if args.cmd == "meth-freq":
         from .pipeline.freq import meth_freq
