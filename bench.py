@@ -102,8 +102,11 @@ def main():
     tmp = tempfile.mkdtemp(prefix="f5c_tpu_bench_")
     try:
         bam, genome, reads, n_reads, slow5 = setup_dataset(tmp, blow5=True)
-        # warm-up run (JIT compile), then the measured run
+        # two warm-up runs: the first compiles, the second flushes
+        # residual first-call costs (autotuning etc.); then measure
         w0, _ = run_once(bam, genome, reads, os.path.join(tmp, "w.tsv"),
+                         slow5, tool)
+        w1, _ = run_once(bam, genome, reads, os.path.join(tmp, "w.tsv"),
                          slow5, tool)
         wall, pipe = run_once(bam, genome, reads, os.path.join(tmp, "m.tsv"),
                               slow5, tool)
@@ -115,7 +118,7 @@ def main():
         reads_per_s = n_proc / wall
         name = ("call-methylation" if tool == "meth" else "eventalign")
         print(
-            f"[bench] warmup {w0:.1f}s measured {wall:.2f}s "
+            f"[bench] warmups {w0:.1f}s/{w1:.1f}s measured {wall:.2f}s "
             f"{n_proc} reads {bases} bases "
             f"({bases/wall/1e6:.2f} Mbases/s); stages: "
             + " ".join(f"{k}={v:.2f}" for k, v in pipe.stage_time.items()),
