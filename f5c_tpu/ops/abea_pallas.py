@@ -293,16 +293,3 @@ def abea_fill_pallas(batch: AbeaBatch, ev_rev: jnp.ndarray, n_bands: int,
 def make_ev_rev(batch: AbeaBatch) -> jnp.ndarray:
     """Reversed event array so the kernel slices ascending lanes."""
     return jnp.flip(batch.event_means, axis=1)
-
-
-def align_batch_pallas(batch: AbeaBatch, n_bands: int, max_pairs: int,
-                       interpret: bool = False):
-    """Pallas fill + XLA backtrace; drop-in for abea.align_batch."""
-    from .abea import abea_backtrace
-
-    n_bands = ((n_bands + CHUNK - 1) // CHUNK) * CHUNK
-    ev_rev = make_ev_rev(batch)
-    trace = abea_fill_pallas(batch, ev_rev, n_bands, interpret=interpret)
-    ll_event, ll_kmer, last_col = unpack_sideband(trace)
-    return abea_backtrace((trace, ll_event, ll_kmer, last_col), batch,
-                          max_pairs)
