@@ -389,7 +389,7 @@ def _backtrace_packed_single(trace, ll_event, ll_kmer, last_col, ev,
         return (k, e, n, sum_em, gap, max_gap, last_k, dirs)
 
     def body(st):
-        for _ in range(8):
+        for _ in range(16):
             st = one_step(st)
         return st
 
