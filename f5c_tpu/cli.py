@@ -152,8 +152,7 @@ def main(argv=None):
                    help="basecaller sequencing summary (repeatable; "
                         "avoids the FAST5 scan)")
     p.add_argument("--iop", type=int, default=1,
-                   help="parallel scan processes (compat; scanning is "
-                        "already parallel)")
+                   help="parallel FAST5 scan processes")
 
     p = sub.add_parser("call-methylation", help="CpG methylation calling")
     _add_common_meth_args(p)
@@ -219,7 +218,7 @@ def main(argv=None):
 
         db = ReadDB(args.reads)
         db.build(fast5_dirs=args.directory or None, slow5_path=args.slow5,
-                 sequencing_summary=args.summary or None)
+                 sequencing_summary=args.summary or None, iop=args.iop)
         if args.slow5:
             from .io.slow5 import Slow5File
 

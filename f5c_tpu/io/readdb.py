@@ -27,7 +27,8 @@ class ReadDB:
     # -- build (the `index` subcommand) -------------------------------
     def build(self, fast5_dirs: list[str] | None = None,
               slow5_path: str | None = None,
-              sequencing_summary: list[str] | None = None):
+              sequencing_summary: list[str] | None = None,
+              iop: int = 1):
         """Create .index (bgzf fasta), .fai, and .readdb."""
         with BgzfWriter(self.index_path) as w:
             for name, seq, _ in read_fastx(self.reads_path):
@@ -49,7 +50,7 @@ class ReadDB:
             else:
                 missing = list(fa.entries)
             if missing:
-                mapping.update(scan_fast5_dirs(fast5_dirs))
+                mapping.update(scan_fast5_dirs(fast5_dirs, iop=iop))
             for rid in fa.entries:
                 if rid in mapping:
                     paths[rid] = mapping[rid]
@@ -127,25 +128,40 @@ def parse_sequencing_summary(path: str, fast5_dirs: list[str]
     return mapping
 
 
-def scan_fast5_dirs(dirs: list[str]) -> dict[str, str]:
-    """Recursively scan directories for FAST5 files, mapping read_id->path.
-
-    (Reference: index.c multi-process scan; here a simple walk — the
-    per-file HDF5 opens dominate and parallelise at the pipeline layer.)
-    """
+def _scan_one_fast5(path: str) -> list[tuple[str, str]]:
     from .fast5 import Fast5File
 
-    mapping: dict[str, str] = {}
+    try:
+        with Fast5File(path) as f5:
+            return [(rid, path) for rid in f5.read_ids()]
+    except OSError:
+        return []
+
+
+def scan_fast5_dirs(dirs: list[str], iop: int = 1) -> dict[str, str]:
+    """Recursively scan directories for FAST5 files, mapping read_id->path.
+
+    ``iop`` > 1 fans the per-file HDF5 opens out over worker processes
+    (the reference forks scanner processes the same way, index.c:509-602;
+    HDF5 is not usable from threads).
+    """
+    paths = []
     for d in dirs:
         for root, _dirs, files in os.walk(d):
             for fn in sorted(files):
-                if not fn.endswith(".fast5"):
-                    continue
-                path = os.path.join(root, fn)
-                try:
-                    with Fast5File(path) as f5:
-                        for rid in f5.read_ids():
-                            mapping[rid] = path
-                except OSError:
-                    continue
+                if fn.endswith(".fast5"):
+                    paths.append(os.path.join(root, fn))
+    mapping: dict[str, str] = {}
+    if iop > 1 and len(paths) > 1:
+        import multiprocessing as mp
+        from concurrent.futures import ProcessPoolExecutor
+
+        with ProcessPoolExecutor(
+                max_workers=iop,
+                mp_context=mp.get_context("spawn")) as pool:
+            for pairs in pool.map(_scan_one_fast5, paths, chunksize=16):
+                mapping.update(pairs)
+    else:
+        for path in paths:
+            mapping.update(_scan_one_fast5(path))
     return mapping
