@@ -505,7 +505,12 @@ class Pipeline:
 
             from ..ops.abea_pallas import CHUNK
             from ..ops.abea_pallas8 import R as READS_PER_STEP
-            from ..ops.abea_pallas8 import abea_align_device
+
+            if os.environ.get("F5C_TPU_FILL", "kr") == "kr":
+                from ..ops.abea_kr import abea_align_device_kr as \
+                    abea_align_device
+            else:
+                from ..ops.abea_pallas8 import abea_align_device
 
             arrays = self._abea_concat_arrays(todo, ranks,
                                               pad_to=READS_PER_STEP)
