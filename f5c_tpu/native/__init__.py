@@ -100,6 +100,14 @@ def _declare(lib):
         _u8p, _i64, _i64, _i32p, _i64, _f32p, _f32p, _f32p, _i64,
         _i32p, _i32p, _i32p, _i32p, ctypes.POINTER(ctypes.c_double),
         ctypes.POINTER(_f32), ctypes.POINTER(_f32), ctypes.POINTER(_f32)]
+    lib.f5c_decode_qc_postalign.restype = _int
+    lib.f5c_decode_qc_postalign.argtypes = [
+        _u8p, _i64, _i64, _i32p, _i64, _f32p, _f32p, _f32p, _f32p,
+        _f32, _f32, _f32, _i32, _i64,
+        _i32p, _i32p, _i32p, _i32p, ctypes.POINTER(ctypes.c_double),
+        ctypes.POINTER(_f32), ctypes.POINTER(_f32), ctypes.POINTER(_f32),
+        ctypes.POINTER(_f32), ctypes.POINTER(_i32),
+        ctypes.POINTER(_i32)]
     lib.f5c_disambiguate.restype = None
     lib.f5c_disambiguate.argtypes = [_i8p, _i64, _i8p]
     lib.f5c_collect_meth_groups.restype = _i64
@@ -341,6 +349,51 @@ def decode_postalign(packed_dirs: np.ndarray, n: int, start_event: int,
                   var=float(var.value)) if ok else Scalings()
     pairs = np.stack([pairs_k, pairs_e], axis=1)
     return bool(ok), pairs, b2e_start, b2e_stop, float(epb.value), sc
+
+
+def decode_qc_postalign(packed_dirs: np.ndarray, n: int, start_event: int,
+                        ranks: np.ndarray, event_means: np.ndarray,
+                        level_mean, level_stdv, level_log_stdv,
+                        scale: float, shift: float,
+                        min_avg_log_emission: float,
+                        max_gap_threshold: int,
+                        min_num_events_to_rescale: int):
+    """Decode walk + alignment QC (avg emission / spanned / max gap,
+    src/align.c:526-543) + postalign + recalibrate in one host pass —
+    the host half of the event-ring ABEA contract (ops/abea_ring.py).
+
+    -> (failed, calibrated, pairs[n,2], b2e_start, b2e_stop, epb,
+        Scalings, sum_em, max_gap)."""
+    from ..ops.abea_ref import Scalings
+
+    lib = get_lib()
+    n_kmers = ranks.shape[0]
+    pairs_k = np.empty(max(n, 1), dtype=np.int32)
+    pairs_e = np.empty(max(n, 1), dtype=np.int32)
+    b2e_start = np.empty(n_kmers, dtype=np.int32)
+    b2e_stop = np.empty(n_kmers, dtype=np.int32)
+    epb = ctypes.c_double()
+    shift_o = _f32()
+    scale_o = _f32()
+    var_o = _f32()
+    sum_em = _f32()
+    max_gap = _i32()
+    failed = _i32()
+    ok = lib.f5c_decode_qc_postalign(
+        np.ascontiguousarray(packed_dirs), n, start_event,
+        np.ascontiguousarray(ranks, dtype=np.int32), n_kmers,
+        np.ascontiguousarray(event_means, dtype=np.float32),
+        level_mean, level_stdv, level_log_stdv,
+        scale, shift, min_avg_log_emission, max_gap_threshold,
+        min_num_events_to_rescale,
+        pairs_k, pairs_e, b2e_start, b2e_stop, ctypes.byref(epb),
+        ctypes.byref(shift_o), ctypes.byref(scale_o), ctypes.byref(var_o),
+        ctypes.byref(sum_em), ctypes.byref(max_gap), ctypes.byref(failed))
+    sc = Scalings(shift=float(shift_o.value), scale=float(scale_o.value),
+                  var=float(var_o.value)) if ok else Scalings()
+    pairs = np.stack([pairs_k[:n], pairs_e[:n]], axis=1)
+    return (bool(failed.value), bool(ok), pairs, b2e_start, b2e_stop,
+            float(epb.value), sc, float(sum_em.value), int(max_gap.value))
 
 
 def disambiguate(seq: bytes) -> bytes:

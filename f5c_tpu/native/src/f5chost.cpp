@@ -1039,6 +1039,68 @@ int f5c_decode_postalign(
       events_per_base, shift_out, scale_out, var_out);
 }
 
+// Decode + QC + postalign in one pass: the host half of the event-ring
+// ABEA contract (ops/abea_ring.py), where the device ships ONLY the
+// packed walk + pair count and the alignment QC of src/align.c:526-543
+// (avg log emission / spanned / max gap) is evaluated here, bit-equal
+// to the NumPy oracle (f32 arithmetic, walk-order accumulation,
+// -ffp-contract=off).  *failed_out reports the QC verdict; postalign +
+// recalibration only run when QC passes.
+int f5c_decode_qc_postalign(
+    const uint8_t* packed_dirs, int64_t n, int64_t start_event,
+    const int32_t* ranks, int64_t n_kmers,
+    const float* event_means,
+    const float* level_mean, const float* level_stdv,
+    const float* level_log_stdv,
+    float scale, float shift,
+    float min_avg_log_emission, int32_t max_gap_threshold,
+    int64_t min_num_events_to_rescale,
+    int32_t* pairs_k, int32_t* pairs_e,
+    int32_t* b2e_start, int32_t* b2e_stop,
+    double* events_per_base, float* shift_out, float* scale_out,
+    float* var_out, float* sum_em_out, int32_t* max_gap_out,
+    int32_t* failed_out) {
+  const float log_inv_sqrt_2pi = -0.918938f;
+  int64_t k = n_kmers - 1, e = start_event;
+  float sum_em = 0.0f;
+  int32_t gap = 0, max_gap = 0;
+  int64_t last_k = -1;
+  for (int64_t i = 0; i < n; i++) {
+    pairs_k[n - 1 - i] = (int32_t)k;
+    pairs_e[n - 1 - i] = (int32_t)e;
+    int32_t rk = ranks[k];
+    float a = (event_means[e] - (scale * level_mean[rk] + shift))
+              / level_stdv[rk];
+    sum_em += (log_inv_sqrt_2pi - level_log_stdv[rk])
+              + (-0.5f * a * a);
+    last_k = k;
+    int d = (packed_dirs[i >> 2] >> ((i & 3) * 2)) & 3;
+    if (d == 1) {            // stay: previous event
+      e -= 1;
+      gap = 0;
+    } else if (d == 0) {     // step: previous kmer and event
+      k -= 1;
+      e -= 1;
+      gap = 0;
+    } else {                 // skip kmer
+      k -= 1;
+      gap += 1;
+    }
+    if (gap > max_gap) max_gap = gap;
+  }
+  float avg = sum_em / (n > 0 ? (float)n : 1.0f);
+  int spanned = (n > 0) && (last_k == 0);
+  *sum_em_out = sum_em;
+  *max_gap_out = max_gap;
+  *failed_out = (avg < min_avg_log_emission) || !spanned
+                || (max_gap > max_gap_threshold) || (n == 0);
+  if (*failed_out) return 0;
+  return f5c_postalign_recalibrate(
+      pairs_k, pairs_e, n, ranks, n_kmers, event_means, level_mean,
+      level_stdv, min_num_events_to_rescale, b2e_start, b2e_stop,
+      events_per_base, shift_out, scale_out, var_out);
+}
+
 // Slim variant of f5c_hmm_assemble for device-side assembly: only the
 // per-item kmer ranks (padded [N, pad_k] row-major, int16 when the model
 // fits) and window kmer counts. The device gathers the model tables and

@@ -25,6 +25,8 @@ from dataclasses import dataclass, field
 import numpy as np
 
 from ..constants import (
+    ABEA_MAX_GAP_THRESHOLD,
+    ABEA_MIN_AVG_LOG_EMISSION,
     AVG_EVENTS_PER_KMER_MAX,
     DEFAULT_BATCH_BASES,
     DEFAULT_BATCH_READS,
@@ -500,13 +502,61 @@ class Pipeline:
         K = _bucket(max(k.shape[0] for k in ranks))
         n_bands = E + K + 2
         max_pairs = E + K
+        kernel = os.environ.get("F5C_TPU_FILL", "ring")
+        if self._use_pallas() and kernel == "ring":
+            import jax.numpy as jnp
+
+            from ..ops.abea_pallas import CHUNK
+            from ..ops.abea_ring import R as READS_PER_STEP
+            from ..ops.abea_ring import abea_align_device_ring
+
+            arrays = self._abea_concat_arrays(todo, ranks,
+                                              pad_to=READS_PER_STEP)
+            lm, ls, ll = self._nuc_dev_tables()
+            nb = ((n_bands + CHUNK - 1) // CHUNK) * CHUNK
+            (ev_concat, ev_off, ev_len, rk_concat, rk_off, rk_len, scale,
+             shift, lp_stay, lp_step, lp_skip, lp_trim) = arrays
+            # ragged D2H layout: read i's packed walk bytes live at
+            # flat[off[i] : off[i+1]] (capacity ceil((n_ev+n_km)/4),
+            # a worst-case bound on the walk length)
+            byte_cap = (ev_len.astype(np.int64)
+                        + rk_len.astype(np.int64) + 3) // 4
+            off = np.zeros(len(byte_cap) + 1, np.int32)
+            np.cumsum(byte_cap, out=off[1:])
+            cap = _bucket(int(off[-1]), minimum=4096)
+            flat, start_e, n = abea_align_device_ring(
+                jnp.asarray(ev_concat), jnp.asarray(ev_off),
+                jnp.asarray(ev_len), jnp.asarray(rk_concat),
+                jnp.asarray(rk_off), jnp.asarray(rk_len), lm, ls, ll,
+                jnp.asarray(scale), jnp.asarray(shift),
+                jnp.asarray(lp_stay), jnp.asarray(lp_step),
+                jnp.asarray(lp_skip), jnp.asarray(lp_trim),
+                jnp.asarray(off),
+                E=E, K=K, n_bands=nb, max_pairs=max_pairs, cap=cap)
+            flat = np.asarray(flat)
+            start_e = np.asarray(start_e)
+            n = np.asarray(n)
+            self.stage_time["align"] += time.time() - t0
+
+            t0 = time.time()
+            for i, r in enumerate(todo):
+                if start_e[i] < 0 or n[i] == 0:
+                    r.status |= FAILED_ALIGNMENT
+                    continue
+                self._postalign_qc_one(r, ranks[i],
+                                       flat[off[i]:off[i + 1]],
+                                       int(n[i]), int(start_e[i]),
+                                       float(scale[i]), float(shift[i]))
+            self.stage_time["scaling"] += time.time() - t0
+            return
+
         if self._use_pallas():
             import jax.numpy as jnp
 
             from ..ops.abea_pallas import CHUNK
             from ..ops.abea_pallas8 import R as READS_PER_STEP
 
-            if os.environ.get("F5C_TPU_FILL", "kr") == "kr":
+            if kernel == "kr":
                 from ..ops.abea_kr import abea_align_device_kr as \
                     abea_align_device
             else:
@@ -545,6 +595,77 @@ class Pipeline:
             self._postalign_one(r, ranks[i], packed[i], int(n[i]),
                                 int(start_e[i]))
         self.stage_time["scaling"] += time.time() - t0
+
+    def _postalign_qc_one(self, r: ReadRecord, rks: np.ndarray,
+                          dirs_bytes: np.ndarray, n: int, start_event: int,
+                          mom_scale: float, mom_shift: float):
+        """Host half of the event-ring ABEA contract: decode the packed
+        walk, run the alignment QC (src/align.c:526-543 thresholds) and
+        postalign + recalibration in one native pass."""
+        from .. import native
+        from ..ops import abea
+
+        n_kmers = len(r.seq) - self.model.k + 1
+        if native.available():
+            (failed, ok, pairs, b2e_start, b2e_stop, epb, rc, _sum_em,
+             _max_gap) = native.decode_qc_postalign(
+                dirs_bytes, n, start_event, rks, r.event_means,
+                self.model.level_mean, self.model.level_stdv,
+                self.model.level_log_stdv, mom_scale, mom_shift,
+                ABEA_MIN_AVG_LOG_EMISSION, ABEA_MAX_GAP_THRESHOLD,
+                self.opt.min_num_events_to_rescale)
+            if failed:
+                r.status |= FAILED_ALIGNMENT
+                return
+        else:
+            from ..ops.scaling import postalign_np, recalibrate_np
+
+            pairs = abea.decode_packed_dirs(dirs_bytes, n, start_event,
+                                            n_kmers)
+            m = self.model
+            a = ((r.event_means[pairs[:, 1]]
+                  - (np.float32(mom_scale) * m.level_mean[rks[pairs[:, 0]]]
+                     + np.float32(mom_shift)))
+                 / m.level_stdv[rks[pairs[:, 0]]])
+            em = (np.float32(-0.918938)
+                  - m.level_log_stdv[rks[pairs[:, 0]]]
+                  + np.float32(-0.5) * a * a)
+            # walk-order sequential f32 accumulation (oracle order)
+            sum_em = float(np.cumsum(em[::-1].astype(np.float32))[-1]
+                           ) if n else 0.0
+            avg = sum_em / max(n, 1)
+            # max run of consecutive skip moves, from the walk itself
+            b = dirs_bytes[: (n + 3) // 4].astype(np.uint8)
+            d = np.stack([(b >> 0) & 3, (b >> 2) & 3, (b >> 4) & 3,
+                          (b >> 6) & 3], axis=1).reshape(-1)[:n]
+            max_gap = 0
+            run = 0
+            for s in (d == 2):
+                run = run + 1 if s else 0
+                max_gap = max(max_gap, run)
+            spanned = n > 0 and pairs[0, 0] == 0
+            if (avg < ABEA_MIN_AVG_LOG_EMISSION or not spanned
+                    or max_gap > ABEA_MAX_GAP_THRESHOLD or n == 0):
+                r.status |= FAILED_ALIGNMENT
+                return
+            post = postalign_np(pairs, rks, n_kmers)
+            ok, rc = recalibrate_np(
+                self.model.level_mean, self.model.level_stdv, rks,
+                r.event_means, post, self.opt.min_num_events_to_rescale)
+            b2e_start = post.base_to_event_start
+            b2e_stop = post.base_to_event_stop
+            epb = post.events_per_base
+        r.pairs = pairs
+        if not ok or rc.var > MIN_CALIBRATION_VAR:
+            r.status |= FAILED_CALIBRATION
+            return
+        if epb > MAX_EVENTS_PER_BASE:
+            r.status |= FAILED_QUALITY_CHK
+            return
+        r.scaling = rc
+        r.events_per_base = epb
+        r.b2e_start = b2e_start
+        r.b2e_stop = b2e_stop
 
     def _postalign_one(self, r: ReadRecord, rks: np.ndarray,
                        packed_dirs: np.ndarray, n: int, start_event: int):
