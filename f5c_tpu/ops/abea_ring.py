@@ -369,6 +369,42 @@ def compact_dirs(packed, off, cap: int):
     return packed[rid, col]
 
 
+def _expand_fast(ev_concat, ev_off, ev_len, rank_concat, rk_off, rk_len,
+                 level_mean, level_stdv, level_log_stdv, scale, shift,
+                 lp_stay, lp_step, lp_skip, lp_trim, E: int, K: int):
+    """Row-slice batch expansion: contiguous per-read dynamic slices
+    (one row-gather op) + a single interleaved model-table gather,
+    ~2x faster than the elementwise-gather expand_batch_device.  Rows
+    carry pool garbage beyond each read's length — safe for the ring
+    kernel, whose validity masks are index-based (never value-based)."""
+    B = ev_off.shape[0]
+    pool_e = jnp.concatenate([ev_concat,
+                              jnp.zeros(E, ev_concat.dtype)])
+    rows = jax.vmap(
+        lambda o: jax.lax.dynamic_slice(pool_e, (o,), (E,)))(ev_off)
+    ev = jax.lax.dynamic_update_slice(
+        jnp.zeros((B, E + 2 * PAD), jnp.float32), rows, (0, PAD))
+    pool_r = jnp.concatenate([rank_concat,
+                              jnp.zeros(K, rank_concat.dtype)])
+    rk = jax.vmap(
+        lambda o: jax.lax.dynamic_slice(pool_r, (o,), (K,)))(rk_off)
+    rk = jnp.clip(rk.astype(jnp.int32), 0, level_mean.shape[0] - 1)
+    t3 = jnp.stack([level_mean, level_stdv, level_log_stdv,
+                    jnp.zeros_like(level_mean)], axis=1)
+    p = t3[rk]                                   # (B, K, 4) one gather
+    km = jax.lax.dynamic_update_slice(
+        jnp.zeros((B, K + 2 * PAD), jnp.float32), p[..., 0], (0, PAD))
+    ks = jax.lax.dynamic_update_slice(
+        jnp.ones((B, K + 2 * PAD), jnp.float32), p[..., 1], (0, PAD))
+    kl = jax.lax.dynamic_update_slice(
+        jnp.zeros((B, K + 2 * PAD), jnp.float32), p[..., 2], (0, PAD))
+    return AbeaBatch(
+        event_means=ev, kmer_mean=km, kmer_stdv=ks, kmer_log_stdv=kl,
+        n_events=ev_len.astype(jnp.int32), n_kmers=rk_len.astype(jnp.int32),
+        scale=scale, shift=shift, lp_stay=lp_stay, lp_step=lp_step,
+        lp_skip=lp_skip, lp_trim=lp_trim)
+
+
 @functools.partial(jax.jit, static_argnames=("E", "K", "n_bands",
                                              "max_pairs", "cap"))
 def abea_align_device_ring(ev_concat, ev_off, ev_len, rank_concat, rk_off,
@@ -381,7 +417,7 @@ def abea_align_device_ring(ev_concat, ev_off, ev_len, rank_concat, rk_off,
     minimal walk -> ragged compaction.  Returns (flat packed dirs [cap]
     u8, start_event [B] i32, n_pairs [B] i32); QC + postalign happen in
     the native host decode."""
-    batch = expand_batch_device(
+    batch = _expand_fast(
         ev_concat, ev_off, ev_len, rank_concat, rk_off, rk_len,
         level_mean, level_stdv, level_log_stdv, scale, shift, lp_stay,
         lp_step, lp_skip, lp_trim, E=E, K=K)
