@@ -2,17 +2,21 @@
 
 A from-scratch binary BAM parser (the reference links htslib for this;
 SAM/BAM is a fixed on-disk spec).  Covers what the pipeline needs:
-file-order iteration over a coordinate-sorted BAM, qname/flag/tid/pos/
-mapq/CIGAR/sequence, reverse-strand detection, and reference span.
-BAI-backed region queries are handled in ``bai.py``.
+constant-memory streaming iteration over a coordinate-sorted BAM
+(records are parsed from a rolling BGZF-decoded buffer, never the whole
+file), qname/flag/tid/pos/mapq/CIGAR/sequence, reverse-strand
+detection, reference span, and BAI-backed region queries
+(``fetch(tid, beg, end)`` seeking via ``bai.BaiIndex`` — the htslib
+``sam_itr_queryi`` path of /root/reference/src/f5cio.c:476-514).
 """
 
 from __future__ import annotations
 
+import os
 import struct
 from dataclasses import dataclass
 
-from .bgzf import decompress_all
+from .bgzf import BgzfReader
 
 # flag bits (SAM spec)
 FUNMAP = 0x4
@@ -108,67 +112,131 @@ class BamRecord:
         return end
 
 
+_CORE = struct.Struct("<iiBBHHHiiii")
+
+
+def _parse_record(rec: bytes) -> BamRecord:
+    (refID, pos, l_rn, mapq, _bin, n_cig, flag, l_seq,
+     _nrid, _npos, _tlen) = _CORE.unpack(rec[:32])
+    qname = rec[32 : 32 + l_rn - 1].decode("latin1")
+    p = 32 + l_rn
+    cig_raw = struct.unpack(f"<{n_cig}I", rec[p : p + 4 * n_cig])
+    cigar = [(c & 0xF, c >> 4) for c in cig_raw]
+    p += 4 * n_cig
+    seq_packed = rec[p : p + (l_seq + 1) // 2]
+    p += (l_seq + 1) // 2 + l_seq   # skip qual
+    return BamRecord(
+        qname=qname, flag=flag, tid=refID, pos=pos, mapq=mapq,
+        cigar=cigar, l_seq=l_seq, _seq_packed=seq_packed, _aux=rec[p:])
+
+
 class BamReader:
-    """Loads a BAM and iterates alignment records in file order."""
+    """Streams alignment records in file order with constant memory; a
+    ``.bai`` next to the file enables seeking region queries."""
+
+    _CHUNK = 1 << 18
 
     def __init__(self, path: str):
         self.path = path
-        data = decompress_all(path)
-        if data[:4] != b"BAM\x01":
-            raise ValueError(f"{path}: not a BAM file")
-        l_text = struct.unpack("<i", data[4:8])[0]
-        self.header_text = data[8 : 8 + l_text].rstrip(b"\x00").decode(
-            "latin1"
-        )
-        off = 8 + l_text
-        n_ref = struct.unpack("<i", data[off : off + 4])[0]
-        off += 4
-        self.references: list[str] = []
-        self.ref_lengths: list[int] = []
-        for _ in range(n_ref):
-            l_name = struct.unpack("<i", data[off : off + 4])[0]
-            off += 4
-            self.references.append(
-                data[off : off + l_name - 1].decode("latin1")
-            )
-            off += l_name
-            self.ref_lengths.append(
-                struct.unpack("<i", data[off : off + 4])[0]
-            )
-            off += 4
-        self._data = data
-        self._records_off = off
+        r = BgzfReader(path)
+        try:
+            if r.read(4) != b"BAM\x01":
+                raise ValueError(f"{path}: not a BAM file")
+            (l_text,) = struct.unpack("<i", r.read(4))
+            self.header_text = r.read(l_text).rstrip(b"\x00").decode(
+                "latin1")
+            (n_ref,) = struct.unpack("<i", r.read(4))
+            self.references: list[str] = []
+            self.ref_lengths: list[int] = []
+            for _ in range(n_ref):
+                (l_name,) = struct.unpack("<i", r.read(4))
+                self.references.append(
+                    r.read(l_name)[:-1].decode("latin1"))
+                self.ref_lengths.append(
+                    struct.unpack("<i", r.read(4))[0])
+            self._body_voff = r.tell_virtual()
+        finally:
+            r.close()
+        self._bai = None
 
     def __iter__(self):
-        data = self._data
-        off = self._records_off
-        n = len(data)
-        unpack_core = struct.Struct("<iiBBHHHiiii").unpack
-        while off + 4 <= n:
-            block_size = struct.unpack("<i", data[off : off + 4])[0]
-            off += 4
-            rec = data[off : off + block_size]
-            off += block_size
-            (refID, pos, l_rn, mapq, _bin, n_cig, flag, l_seq,
-             _nrid, _npos, _tlen) = unpack_core(rec[:32])
-            qname = rec[32 : 32 + l_rn - 1].decode("latin1")
-            p = 32 + l_rn
-            cig_raw = struct.unpack(f"<{n_cig}I", rec[p : p + 4 * n_cig])
-            cigar = [(c & 0xF, c >> 4) for c in cig_raw]
-            p += 4 * n_cig
-            seq_packed = rec[p : p + (l_seq + 1) // 2]
-            p += (l_seq + 1) // 2 + l_seq   # skip qual
-            yield BamRecord(
-                qname=qname,
-                flag=flag,
-                tid=refID,
-                pos=pos,
-                mapq=mapq,
-                cigar=cigar,
-                l_seq=l_seq,
-                _seq_packed=seq_packed,
-                _aux=rec[p:],
-            )
+        """File-order streaming scan (rolling buffer, constant memory)."""
+        r = BgzfReader(self.path)
+        try:
+            r.seek_virtual(self._body_voff)
+            buf = b""
+            pos = 0
+            while True:
+                if len(buf) - pos < 4:
+                    more = r.read(self._CHUNK)
+                    if not more and len(buf) - pos < 4:
+                        return
+                    buf = buf[pos:] + more
+                    pos = 0
+                    continue
+                (block_size,) = struct.unpack_from("<i", buf, pos)
+                if len(buf) - pos - 4 < block_size:
+                    more = r.read(max(self._CHUNK, block_size))
+                    if not more:
+                        return
+                    buf = buf[pos:] + more
+                    pos = 0
+                    continue
+                rec = buf[pos + 4 : pos + 4 + block_size]
+                pos += 4 + block_size
+                yield _parse_record(rec)
+        finally:
+            r.close()
+
+    def _bai_index(self):
+        if self._bai is None:
+            bai_path = self.path + ".bai"
+            if not os.path.exists(bai_path):
+                base, ext = os.path.splitext(self.path)
+                alt = base + ".bai"
+                bai_path = alt if os.path.exists(alt) else None
+            if bai_path is None:
+                self._bai = False
+            else:
+                from .bai import BaiIndex
+
+                self._bai = BaiIndex(bai_path)
+        return self._bai or None
+
+    def has_index(self) -> bool:
+        return self._bai_index() is not None
+
+    def fetch(self, tid: int, beg: int, end: int):
+        """Records overlapping [beg, end) on reference ``tid``, seeking
+        through the BAI chunks instead of scanning the file."""
+        bai = self._bai_index()
+        if bai is None:
+            for rec in self:
+                if (rec.tid == tid and rec.pos < end
+                        and rec.ref_end() > beg):
+                    yield rec
+            return
+        r = BgzfReader(self.path)
+        try:
+            for vb, ve in bai.chunks(tid, beg, end):
+                r.seek_virtual(vb)
+                while r.tell_virtual() < ve:
+                    head = r.read(4)
+                    if len(head) < 4:
+                        break
+                    (block_size,) = struct.unpack("<i", head)
+                    rec = _parse_record(r.read(block_size))
+                    if rec.tid != tid or rec.pos >= end:
+                        # coordinate-sorted: nothing later in this
+                        # chunk can overlap
+                        if rec.tid > tid or (rec.tid == tid
+                                             and rec.pos >= end):
+                            break
+                        continue
+                    if rec.ref_end() > beg:
+                        yield rec
+        finally:
+            r.close()
 
 
 def write_bam(path: str, references: list[tuple[str, int]], records,

@@ -77,7 +77,9 @@ class BgzfReader:
             i += 4 + slen
         if bsize is None:
             raise ValueError(f"{self.path}: BGZF block missing BC field")
-        cdata_len = bsize - xlen - 19 - 8
+        # block = 12-byte gzip header + xlen extra + deflate data + 8
+        # trailer (crc32 + isize)
+        cdata_len = bsize - xlen - 20
         self._f.seek(coffset + 12 + xlen)
         cdata = self._f.read(cdata_len)
         data = zlib.decompress(cdata, wbits=-15)

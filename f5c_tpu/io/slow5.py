@@ -77,6 +77,125 @@ def _svb_zd_decode(blob: bytes, n_expected=None) -> np.ndarray:
     return np.cumsum(d).astype(np.int16)
 
 
+def _svb_u32_decode(buf: np.ndarray, count: int):
+    """Standard streamvbyte (keys then data, 1-4 LE bytes per value) ->
+    (u32 values, bytes consumed).  Vectorised."""
+    nk = (count + 3) // 4
+    keys = buf[:nk]
+    codes = np.empty(count, dtype=np.uint8)
+    for j in range(4):
+        codes[j::4] = (keys[: (count - j + 3) // 4] >> (2 * j)) & 3
+    sizes = codes.astype(np.int64) + 1
+    offs = np.concatenate([[0], np.cumsum(sizes[:-1])]) + nk
+    vals = np.zeros(count, dtype=np.uint32)
+    for nb in (1, 2, 3, 4):
+        sel = np.nonzero(sizes == nb)[0]
+        for b in range(nb):
+            vals[sel] |= buf[offs[sel] + b].astype(np.uint32) << (8 * b)
+    return vals, int(nk + sizes.sum())
+
+
+def _svb_u32_encode(vals: np.ndarray) -> bytes:
+    vals = np.asarray(vals, dtype=np.uint32)
+    n = vals.shape[0]
+    keys = bytearray((n + 3) // 4)
+    data = bytearray()
+    for i, v in enumerate(vals):
+        v = int(v)
+        nb = 1 if v < 1 << 8 else 2 if v < 1 << 16 else 3 if v < 1 << 24 \
+            else 4
+        keys[i // 4] |= (nb - 1) << ((i % 4) * 2)
+        data += v.to_bytes(4, "little")[:nb]
+    return bytes(keys) + bytes(data)
+
+
+def _ex_zd_decode(blob: bytes) -> np.ndarray:
+    """ex-zd v0 signal codec (slow5lib slow5_press.c:1233-1848):
+    [ver u8][nsamples u64][qts u8][first zig-zag delta u16][exception
+    block over deltas 1..n-1][non-exception deltas as raw u8], where the
+    exception block is [nex u32] + (nex>1: two streamvbyte streams of
+    position-deltas-minus-1 and value-256; nex==1: raw u32 pair).
+    Deltas un-zigzag + prefix-sum to samples, then << qts."""
+    buf = np.frombuffer(blob, dtype=np.uint8)
+    ver = blob[0]
+    if ver != 0:
+        raise RuntimeError(f"unsupported ex-zd version {ver}")
+    (nin,) = struct.unpack_from("<Q", blob, 1)
+    q = blob[9]
+    p = 10
+    zd = np.zeros(nin, dtype=np.uint16)
+    (zd0,) = struct.unpack_from("<H", blob, p)
+    zd[0] = zd0
+    p += 2
+    (nex,) = struct.unpack_from("<I", blob, p)
+    p += 4
+    if nex > 1:
+        (npp,) = struct.unpack_from("<I", blob, p)
+        p += 4
+        pos_d, used = _svb_u32_decode(buf[p:p + npp], nex)
+        p += npp
+        (nvp,) = struct.unpack_from("<I", blob, p)
+        p += 4
+        ex, used = _svb_u32_decode(buf[p:p + nvp], nex)
+        p += nvp
+        ex_pos = np.cumsum(pos_d.astype(np.int64) + 1) - 1
+    elif nex == 1:
+        (pos0,) = struct.unpack_from("<I", blob, p)
+        p += 4
+        (v0,) = struct.unpack_from("<I", blob, p)
+        p += 4
+        ex_pos = np.array([pos0], dtype=np.int64)
+        ex = np.array([v0], dtype=np.uint32)
+    else:
+        ex_pos = np.zeros(0, dtype=np.int64)
+        ex = np.zeros(0, dtype=np.uint32)
+    rest = np.ones(nin - 1, dtype=bool)
+    rest[ex_pos] = False
+    tail = zd[1:]
+    tail[ex_pos] = (ex + 256).astype(np.uint16)
+    n_small = int(rest.sum())
+    tail[rest] = buf[p:p + n_small].astype(np.uint16)
+    d = ((zd >> 1).astype(np.int32)) ^ -(zd & 1).astype(np.int32)
+    out = np.cumsum(d).astype(np.int16)
+    if q:
+        out = (out << q).astype(np.int16)
+    return out
+
+
+def _ex_zd_encode(samples: np.ndarray) -> bytes:
+    s = np.asarray(samples, dtype=np.int16)
+    nin = s.shape[0]
+    # quantisation: largest q <= 5 with all low bits zero
+    q = 5
+    while q and np.any(s & ((1 << q) - 1)):
+        q -= 1
+    sq = (s >> q).astype(np.int16)
+    d = np.diff(np.concatenate([[np.int16(0)], sq])).astype(np.int16)
+    zd = (((d.astype(np.int32) * 2) ^ (d.astype(np.int32) >> 15))
+          .astype(np.uint16))
+    out = bytearray()
+    out += bytes([0])
+    out += struct.pack("<Q", nin)
+    out += bytes([q])
+    out += struct.pack("<H", int(zd[0]))
+    tail = zd[1:]
+    ex_pos = np.nonzero(tail > 255)[0]
+    nex = ex_pos.shape[0]
+    out += struct.pack("<I", nex)
+    if nex > 1:
+        pos_d = np.diff(np.concatenate([[-1], ex_pos])) - 1
+        pb = _svb_u32_encode(pos_d.astype(np.uint32))
+        out += struct.pack("<I", len(pb)) + pb
+        vb = _svb_u32_encode((tail[ex_pos].astype(np.uint32)) - 256)
+        out += struct.pack("<I", len(vb)) + vb
+    elif nex == 1:
+        out += struct.pack("<I", int(ex_pos[0]))
+        out += struct.pack("<I", int(tail[ex_pos[0]]) - 256)
+    small = tail[tail <= 255].astype(np.uint8)
+    out += small.tobytes()
+    return bytes(out)
+
+
 def _svb_zd_encode(samples: np.ndarray) -> bytes:
     from .. import native
 
@@ -321,6 +440,8 @@ class Slow5File:
         p += 8
         if self.header.sig_press == "svb-zd":
             raw = _svb_zd_decode(rec[p : p + len_raw])
+        elif self.header.sig_press == "ex-zd":
+            raw = _ex_zd_decode(rec[p : p + len_raw])
         elif self.header.sig_press == "none":
             raw = np.frombuffer(rec, dtype="<i2", count=len_raw, offset=p)
         else:
@@ -381,6 +502,9 @@ def write_blow5(path: str, signals, rec_press: str = "zlib",
             raw = np.ascontiguousarray(sig.raw, dtype=np.int16)
             if sig_press == "svb-zd":
                 sig_bytes = _svb_zd_encode(raw)
+                len_raw = len(sig_bytes)
+            elif sig_press == "ex-zd":
+                sig_bytes = _ex_zd_encode(raw)
                 len_raw = len(sig_bytes)
             else:
                 sig_bytes = raw.tobytes()

@@ -406,13 +406,14 @@ def _expand_fast(ev_concat, ev_off, ev_len, rank_concat, rk_off, rk_len,
 
 
 @functools.partial(jax.jit, static_argnames=("E", "K", "n_bands",
-                                             "max_pairs", "cap"))
+                                             "max_pairs", "cap",
+                                             "interpret"))
 def abea_align_device_ring(ev_concat, ev_off, ev_len, rank_concat, rk_off,
                            rk_len, level_mean, level_stdv, level_log_stdv,
                            scale, shift, lp_stay, lp_step, lp_skip,
                            lp_trim, byte_off,
                            E: int, K: int, n_bands: int, max_pairs: int,
-                           cap: int):
+                           cap: int, interpret: bool = False):
     """One-dispatch ABEA on the ring kernel: expansion -> fill ->
     minimal walk -> ragged compaction.  Returns (flat packed dirs [cap]
     u8, start_event [B] i32, n_pairs [B] i32); QC + postalign happen in
@@ -425,7 +426,7 @@ def abea_align_device_ring(ev_concat, ev_off, ev_len, rank_concat, rk_off,
     kstdv_rev = jnp.flip(batch.kmer_stdv, axis=1)
     klog_rev = jnp.flip(batch.kmer_log_stdv, axis=1)
     trace, best = abea_fill_ring(batch, kmean_rev, kstdv_rev, klog_rev,
-                                 n_bands)
+                                 n_bands, interpret=interpret)
     packed, start_e, n = abea_backtrace_ring(trace, best, batch.n_kmers,
                                              max_pairs)
     return compact_dirs(packed, byte_off, cap), start_e, n

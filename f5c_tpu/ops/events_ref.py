@@ -13,9 +13,10 @@ Note: the reference's ``getevents`` calls its trim helper but discards the
 result (events.c:562-573 passes ``rt`` by value), so detection always runs
 over the full signal; we reproduce that behaviour (no trim).
 
-This module is the correctness oracle for the batched JAX implementation in
-``events.py``; it is validated against the reference's
-``--print-events`` fixture (test/ecoli_2kb_region/single_read/read1.events.exp).
+This module is the correctness oracle for the native host event detector
+(``native/src/f5chost.cpp:f5c_detect_events``, the production path); it is
+validated against the reference's ``--print-events`` fixture
+(test/ecoli_2kb_region/single_read/read1.events.exp).
 """
 
 from __future__ import annotations

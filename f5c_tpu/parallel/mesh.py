@@ -39,6 +39,93 @@ def shard_batch(mesh: Mesh, batch):
     return jax.tree_util.tree_map(put, batch)
 
 
+def _shard_map(fn, mesh, in_specs, out_specs):
+    try:
+        from jax import shard_map as _sm
+    except (ImportError, AttributeError):
+        from jax.experimental.shard_map import shard_map as _sm
+    try:
+        # check_vma would demand varying-mesh-axis annotations on the
+        # Pallas kernels' out_shapes; the kernels are per-device programs
+        return _sm(fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                   check_vma=False)
+    except TypeError:
+        return _sm(fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
+
+
+@functools.partial(jax.jit, static_argnames=("mesh", "E", "K", "n_bands",
+                                             "max_pairs", "cap",
+                                             "interpret"))
+def shard_align_ring(mesh: Mesh, ev_concat, ev_off, ev_len, rank_concat,
+                     rk_off, rk_len, level_mean, level_stdv,
+                     level_log_stdv, scale, shift, lp_stay, lp_step,
+                     lp_skip, lp_trim, byte_off,
+                     E: int, K: int, n_bands: int, max_pairs: int,
+                     cap: int, interpret: bool = False):
+    """The PRODUCTION ring-kernel ABEA (ops/abea_ring.py: on-device
+    expansion -> Pallas fill -> minimal walk -> ragged compaction) with
+    the read axis data-parallel over the mesh.
+
+    Every per-batch array carries a leading device axis (one concat-pool
+    shard per device, reads dealt round-robin by the runner for load
+    balance); the model tables are replicated.  Inside the mesh each
+    device runs the unmodified single-chip program — reads are
+    embarrassingly parallel, matching the reference's multi-GPU story
+    (one f5c process per GPU; SURVEY §2.7) but within one program.
+    """
+    from ..ops.abea_ring import abea_align_device_ring
+
+    sharded = P("data")
+    repl = P()
+
+    def run(ev_c, ev_o, ev_l, rk_c, rk_o, rk_l, lm, ls, ll, sc, sh,
+            lst, lstp, lsk, ltr, boff):
+        flat, start_e, n = abea_align_device_ring(
+            ev_c[0], ev_o[0], ev_l[0], rk_c[0], rk_o[0], rk_l[0],
+            lm, ls, ll, sc[0], sh[0], lst[0], lstp[0], lsk[0], ltr[0],
+            boff[0], E=E, K=K, n_bands=n_bands, max_pairs=max_pairs,
+            cap=cap, interpret=interpret)
+        return flat[None], start_e[None], n[None]
+
+    fn = _shard_map(
+        run, mesh,
+        in_specs=(sharded,) * 6 + (repl,) * 3 + (sharded,) * 7,
+        out_specs=(sharded, sharded, sharded))
+    return fn(ev_concat, ev_off, ev_len, rank_concat, rk_off, rk_len,
+              level_mean, level_stdv, level_log_stdv, scale, shift,
+              lp_stay, lp_step, lp_skip, lp_trim, byte_off)
+
+
+@functools.partial(jax.jit, static_argnames=("mesh", "SEG", "interpret"))
+def shard_hmm_forward(mesh: Mesh, ranks, n_km, ev_pool, ev_start, stride,
+                      n_events, scale, shift, var, lp_stay, lp_step,
+                      level_mean, level_stdv, level_log_stdv,
+                      SEG: int, interpret: bool = False):
+    """The PRODUCTION Pallas profile-HMM scorer (ops/hmm_pallas.py) with
+    the work-item axis data-parallel over the mesh; model tables
+    replicated.  Inputs carry a leading device axis like
+    shard_align_ring."""
+    from ..ops.hmm_pallas import hmm_forward_pallas
+
+    sharded = P("data")
+    repl = P()
+
+    def run(rk, nk, pool, st, sd, nev, sc, sh, vr, lst, lstp, lm, ls, ll):
+        s = hmm_forward_pallas(
+            rk[0], nk[0], pool, st[0], sd[0], nev[0], sc[0], sh[0],
+            vr[0], lst[0], lstp[0], lm, ls, ll, SEG=SEG,
+            interpret=interpret)
+        return s[None]
+
+    fn = _shard_map(
+        run, mesh,
+        in_specs=(sharded, sharded, repl) + (sharded,) * 8 + (repl,) * 3,
+        out_specs=sharded)
+    return fn(ranks, n_km, ev_pool, ev_start, stride, n_events, scale,
+              shift, var, lp_stay, lp_step, level_mean, level_stdv,
+              level_log_stdv)
+
+
 def sharded_abea(mesh: Mesh, batch, n_bands: int, max_pairs: int):
     """ABEA fill+backtrace with the read axis sharded over the mesh.
 

@@ -247,6 +247,20 @@ class Pipeline:
                 return True
         return False
 
+    def _bam_record_iter(self):
+        """Region-aware record source: seek via the BAI when `-w` regions
+        are given and an index exists (sam_itr_queryi equivalent,
+        f5cio.c:476-514); otherwise stream the whole file."""
+        if self.regions is not None and self.bam.has_index():
+            tid_of = {n: i for i, n in enumerate(self.bam.references)}
+            for chrom, start, stop in self.regions:
+                tid = tid_of.get(chrom)
+                if tid is None:
+                    continue
+                yield from self.bam.fetch(tid, start, stop)
+        else:
+            yield from self.bam
+
     # ---- batch iteration ------------------------------------------------
     def batches(self, keep_raw: bool = False):
         """Yield lists of ReadRecord (loaded, events+MoM done)."""
@@ -268,7 +282,7 @@ class Pipeline:
             batch: list[ReadRecord] = []
             bases = 0
             read_idx = 0
-            for rec in self.bam:
+            for rec in self._bam_record_iter():
                 idx = read_idx
                 read_idx += 1
                 if opt.shard_count > 1 and (
@@ -363,9 +377,27 @@ class Pipeline:
     def _use_pallas(self) -> bool:
         if self.opt.device == "cpu":
             return False
+        if self._interpret_kernels():
+            return True
         import jax
 
         return jax.default_backend() not in ("cpu",)
+
+    @staticmethod
+    def _interpret_kernels() -> bool:
+        """F5C_TPU_INTERPRET=1 runs the production Pallas kernels in
+        interpreter mode — the mesh tests exercise the real kernel code
+        on a virtual CPU device mesh this way."""
+        return os.environ.get("F5C_TPU_INTERPRET") == "1"
+
+    @staticmethod
+    def _mesh_devices():
+        import jax
+
+        if os.environ.get("F5C_TPU_MESH", "1") == "0":
+            return []
+        devs = jax.devices()
+        return devs if len(devs) > 1 else []
 
     def _nuc_dev_tables(self):
         """Device-resident nucleotide model tables (cached)."""
@@ -504,6 +536,11 @@ class Pipeline:
         max_pairs = E + K
         kernel = os.environ.get("F5C_TPU_FILL", "ring")
         if self._use_pallas() and kernel == "ring":
+            devs = self._mesh_devices()
+            if devs and len(todo) >= 2 * len(devs):
+                return self._align_ring_sharded(todo, ranks, E, K,
+                                                n_bands, max_pairs,
+                                                devs, t0)
             import jax.numpy as jnp
 
             from ..ops.abea_pallas import CHUNK
@@ -532,7 +569,8 @@ class Pipeline:
                 jnp.asarray(lp_stay), jnp.asarray(lp_step),
                 jnp.asarray(lp_skip), jnp.asarray(lp_trim),
                 jnp.asarray(off),
-                E=E, K=K, n_bands=nb, max_pairs=max_pairs, cap=cap)
+                E=E, K=K, n_bands=nb, max_pairs=max_pairs, cap=cap,
+                interpret=self._interpret_kernels())
             flat = np.asarray(flat)
             start_e = np.asarray(start_e)
             n = np.asarray(n)
@@ -596,6 +634,98 @@ class Pipeline:
                                 int(start_e[i]))
         self.stage_time["scaling"] += time.time() - t0
 
+    def _align_ring_sharded(self, todo, ranks, E, K, n_bands, max_pairs,
+                            devs, t0):
+        """Production ring-kernel ABEA with the read axis data-parallel
+        over the device mesh (parallel/mesh.py:shard_align_ring).  Reads
+        are dealt round-robin (todo is event-sorted, so lengths balance);
+        every per-batch array gains a leading device axis."""
+        import jax.numpy as jnp
+
+        from ..ops.abea_pallas import CHUNK
+        from ..parallel.mesh import data_mesh, shard_align_ring
+
+        D = len(devs)
+        groups = [todo[d::D] for d in range(D)]
+        granks = [[ranks[i] for i in range(d, len(todo), D)]
+                  for d in range(D)]
+        per_dev = [self._abea_concat_arrays(g, rk, pad_to=8)
+                   for g, rk in zip(groups, granks)]
+        Bd = max(a[1].shape[0] for a in per_dev)        # padded read count
+        L_e = _bucket(max(a[0].shape[0] for a in per_dev), minimum=1024)
+        L_r = _bucket(max(a[3].shape[0] for a in per_dev), minimum=1024)
+        offs = []
+        caps = []
+        for a in per_dev:
+            ev_len, rk_len = a[2], a[5]
+            bc = (ev_len.astype(np.int64) + rk_len.astype(np.int64) + 3) // 4
+            off = np.zeros(len(bc) + 1, np.int32)
+            np.cumsum(bc, out=off[1:])
+            offs.append(off)
+            caps.append(int(off[-1]))
+        cap = _bucket(max(caps), minimum=4096)
+
+        def pad1(x, n, fill=0):
+            out = np.full(n, fill, dtype=x.dtype)
+            out[:x.shape[0]] = x
+            return out
+
+        stacked = []
+        for field_i, L in ((0, L_e), (3, L_r)):
+            stacked.append(np.stack([pad1(a[field_i], L)
+                                     for a in per_dev]))
+        ev_concat_s, rk_concat_s = stacked
+        rest = []
+        for field_i in (1, 2, 4, 5, 6, 7, 8, 9, 10, 11):
+            rest.append(np.stack([pad1(a[field_i], Bd)
+                                  for a in per_dev]))
+        (ev_off_s, ev_len_s, rk_off_s, rk_len_s, scale_s, shift_s,
+         lp_stay_s, lp_step_s, lp_skip_s, lp_trim_s) = rest
+        # padded rows must stay benign: duplicate row 0's metadata
+        for d, a in enumerate(per_dev):
+            b0 = a[1].shape[0]
+            if b0 < Bd:
+                for arr, src in ((ev_off_s, a[1]), (ev_len_s, a[2]),
+                                 (rk_off_s, a[4]), (rk_len_s, a[5]),
+                                 (scale_s, a[6]), (shift_s, a[7]),
+                                 (lp_stay_s, a[8]), (lp_step_s, a[9]),
+                                 (lp_skip_s, a[10]), (lp_trim_s, a[11])):
+                    arr[d, b0:] = src[0]
+        off_s = np.stack([pad1(o, Bd + 1, fill=int(o[-1]))
+                          for o in offs])
+        lm, ls, ll = self._nuc_dev_tables()
+        nb = ((n_bands + CHUNK - 1) // CHUNK) * CHUNK
+        mesh = data_mesh(devs)
+        flat, start_e, n = shard_align_ring(
+            mesh, jnp.asarray(ev_concat_s), jnp.asarray(ev_off_s),
+            jnp.asarray(ev_len_s), jnp.asarray(rk_concat_s),
+            jnp.asarray(rk_off_s), jnp.asarray(rk_len_s), lm, ls, ll,
+            jnp.asarray(scale_s), jnp.asarray(shift_s),
+            jnp.asarray(lp_stay_s), jnp.asarray(lp_step_s),
+            jnp.asarray(lp_skip_s), jnp.asarray(lp_trim_s),
+            jnp.asarray(off_s),
+            E=E, K=K, n_bands=nb, max_pairs=max_pairs, cap=cap,
+            interpret=self._interpret_kernels())
+        flat = np.asarray(flat)
+        start_e = np.asarray(start_e)
+        n = np.asarray(n)
+        self.stage_time["align"] += time.time() - t0
+
+        t0 = time.time()
+        for d, group in enumerate(groups):
+            off = offs[d]
+            sc = per_dev[d][6]
+            sh = per_dev[d][7]
+            for i, r in enumerate(group):
+                if start_e[d, i] < 0 or n[d, i] == 0:
+                    r.status |= FAILED_ALIGNMENT
+                    continue
+                self._postalign_qc_one(r, granks[d][i],
+                                       flat[d, off[i]:off[i + 1]],
+                                       int(n[d, i]), int(start_e[d, i]),
+                                       float(sc[i]), float(sh[i]))
+        self.stage_time["scaling"] += time.time() - t0
+
     def _postalign_qc_one(self, r: ReadRecord, rks: np.ndarray,
                           dirs_bytes: np.ndarray, n: int, start_event: int,
                           mom_scale: float, mom_shift: float):
@@ -607,13 +737,17 @@ class Pipeline:
 
         n_kmers = len(r.seq) - self.model.k + 1
         if native.available():
-            (failed, ok, pairs, b2e_start, b2e_stop, epb, rc, _sum_em,
-             _max_gap) = native.decode_qc_postalign(
+            (failed, ok, pairs, b2e_start, b2e_stop, epb, rc, sum_em,
+             max_gap) = native.decode_qc_postalign(
                 dirs_bytes, n, start_event, rks, r.event_means,
                 self.model.level_mean, self.model.level_stdv,
                 self.model.level_log_stdv, mom_scale, mom_shift,
                 ABEA_MIN_AVG_LOG_EMISSION, ABEA_MAX_GAP_THRESHOLD,
                 self.opt.min_num_events_to_rescale)
+            # kept for --print-banded-aln and the full-set fixtures
+            r.align_sum_emission = sum_em
+            r.align_n_pairs = n
+            r.align_max_gap = max_gap
             if failed:
                 r.status |= FAILED_ALIGNMENT
                 return
@@ -787,6 +921,24 @@ class Pipeline:
         if not reads:
             self.stage_time["hmm"] += time.time() - t0
             return {}
+        # the Pallas scorer keeps the whole event pool VMEM-resident;
+        # split oversized batches so 2*pool + padding fits on-core
+        POOL_CAP = 1_300_000
+        if (len(reads) > 1
+                and sum(r.event_means.shape[0] for r in reads) > POOL_CAP):
+            out_all: dict[int, dict] = {}
+            chunk: list[ReadRecord] = []
+            acc = 0
+            for r in reads:
+                ne = r.event_means.shape[0]
+                if chunk and acc + ne > POOL_CAP:
+                    out_all.update(self._meth_batch_native(chunk))
+                    chunk, acc = [], 0
+                chunk.append(r)
+                acc += ne
+            if chunk:
+                out_all.update(self._meth_batch_native(chunk))
+            return out_all
         ref_disamb: list[bytes] = []
         group_arrays = []
         for r in reads:
@@ -837,8 +989,18 @@ class Pipeline:
         read_var = np.array([r.scaling.var for r in reads], np.float32)
         read_epb = np.array([r.events_per_base for r in reads], np.float32)
 
-        # flat event pool goes to the device once per batch
-        ev_pool = jnp.asarray(ev_concat)
+        # flat event pool goes to the device once per batch (length
+        # bucketed so the Pallas scorer's pool-resident shape recompiles
+        # a bounded number of times; 256k granularity near the VMEM cap
+        # so bucketing never overshoots it)
+        n_pool = ev_concat.shape[0]
+        if n_pool > (1 << 20):
+            n_pool = ((n_pool + (1 << 18) - 1) >> 18) << 18
+        else:
+            n_pool = _bucket(n_pool, minimum=1 << 16)
+        pool_pad = np.zeros(n_pool, np.float32)
+        pool_pad[:ev_concat.shape[0]] = ev_concat
+        ev_pool = jnp.asarray(pool_pad)
         lm_dev, ls_dev, ll_dev = self._cpg_dev_tables()
 
         sizes = np.abs(it_e2 - it_e1) + 1
@@ -857,73 +1019,104 @@ class Pipeline:
         it_shift = read_shift[it_read]
         it_var = read_var[it_read]
 
-        from ..ops.hmm import hmm_forward_packed4
+        from ..ops.hmm_pallas import hmm_forward_pallas
 
         scores = np.zeros(n_items, dtype=np.float32)
-        size_keys = np.array([_ebucket(int(s)) for s in sizes])
-        pending = []   # dispatch every bucket async, sync once at the end
-        for pad_e in np.unique(size_keys):
-            bidx = np.nonzero(size_keys == pad_e)[0]
-            # windows of <= 32 kmers (the vast majority) pack 4 per
-            # 128-lane row; wider windows take a full row each
-            small = bidx[ksizes[bidx] <= 32]
-            large = bidx[ksizes[bidx] > 32]
-            if small.size:
-                n_sub = small.shape[0]
-                n4 = _nbucket((n_sub + 3) // 4)
-                n_alloc = 4 * n4
-                ranks, n_km = native.hmm_window_ranks(
-                    n_sub, n_alloc, 32, k, ref_concat, ref_off,
-                    it_read[small], it_sub_start[small],
-                    it_sub_end[small], it_meth[small], read_rc,
-                    self.cpg_model.num_kmers)
-                ranks = ranks.reshape(n4, 128)
+        pending = []   # dispatch everything async, sync once at the end
+        order = np.argsort(sizes, kind="stable")
+        # windows of <= 32 kmers (the vast majority) pack 4 per 128-lane
+        # row; up to 128 kmers take a full row; the Pallas scorer's loop
+        # bound is per-grid-row, so event-size sorting replaces buckets
+        for seg in (32, 128):
+            if seg == 32:
+                idxs = order[ksizes[order] <= 32]
+            else:
+                idxs = order[(ksizes[order] > 32)
+                             & (ksizes[order] <= 128)]
+            if not idxs.size:
+                continue
+            segs = 128 // seg
+            n_sub = idxs.shape[0]
+            n_rows = max(_nbucket(-(-n_sub // segs)), 8)
+            n_alloc = n_rows * segs
+            ranks, n_km = native.hmm_window_ranks(
+                n_sub, n_alloc, seg, k, ref_concat, ref_off,
+                it_read[idxs], it_sub_start[idxs], it_sub_end[idxs],
+                it_meth[idxs], read_rc, self.cpg_model.num_kmers)
+            ranks = ranks.reshape(n_rows, 128)
 
-                def _pad4(a, fill=0, idxs=small, n_alloc=n_alloc, n4=n4):
-                    out = np.full(n_alloc, fill, dtype=a.dtype)
-                    out[:idxs.shape[0]] = a[idxs]
-                    return out.reshape(n4, 4)
+            def _padw(a, fill=0, idxs=idxs, n_alloc=n_alloc,
+                      n_rows=n_rows, segs=segs):
+                out = np.full(n_alloc, fill, dtype=a.dtype)
+                out[:idxs.shape[0]] = a[idxs]
+                return out.reshape(n_rows, segs)
 
-                s = hmm_forward_packed4(
-                    jnp.asarray(ranks),
-                    jnp.asarray(n_km.reshape(n4, 4)), ev_pool,
-                    jnp.asarray(_pad4(it_ev_start)),
-                    jnp.asarray(_pad4(it_stride, fill=1)),
-                    jnp.asarray(_pad4(it_n_ev)),
-                    jnp.asarray(_pad4(it_scale, fill=1)),
-                    jnp.asarray(_pad4(it_shift)),
-                    jnp.asarray(_pad4(it_var, fill=1)),
-                    jnp.asarray(_pad4(it_lp_stay)),
-                    jnp.asarray(_pad4(it_lp_step)),
-                    lm_dev, ls_dev, ll_dev, pad_events=int(pad_e))
-                pending.append((small, n_sub, s))
-            if large.size:
-                idxs = large
-                pad_k = _bucket(int(ksizes[idxs].max()), minimum=128)
-                n_sub = idxs.shape[0]
-                n_pad = _nbucket(n_sub)
-                ranks, n_km = native.hmm_window_ranks(
-                    n_sub, n_pad, pad_k, k, ref_concat, ref_off,
-                    it_read[idxs], it_sub_start[idxs], it_sub_end[idxs],
-                    it_meth[idxs], read_rc, self.cpg_model.num_kmers)
+            args = (ranks, n_km.reshape(n_rows, segs),
+                    _padw(it_ev_start), _padw(it_stride, fill=1),
+                    _padw(it_n_ev), _padw(it_scale, fill=1),
+                    _padw(it_shift), _padw(it_var, fill=1),
+                    _padw(it_lp_stay), _padw(it_lp_step))
+            devs = self._mesh_devices()
+            if devs and n_rows >= 2 * len(devs):
+                # deal window-rows round-robin over the device mesh;
+                # the event pool is replicated (read-only)
+                from ..parallel.mesh import data_mesh, shard_hmm_forward
 
-                def _pad1(a, fill=0, idxs=idxs, n_pad=n_pad):
-                    out = np.full(n_pad, fill, dtype=a.dtype)
-                    out[:idxs.shape[0]] = a[idxs]
-                    return out
+                D = len(devs)
+                n_rows_d = max(_nbucket(-(-n_rows // D)), 16)
 
-                s = hmm_forward_packed(
-                    jnp.asarray(ranks), jnp.asarray(n_km), ev_pool,
-                    jnp.asarray(_pad1(it_ev_start)),
-                    jnp.asarray(_pad1(it_stride, fill=1)),
-                    jnp.asarray(_pad1(it_n_ev)),
-                    jnp.asarray(_pad1(it_scale, fill=1)),
-                    jnp.asarray(_pad1(it_shift)),
-                    jnp.asarray(_pad1(it_var, fill=1)),
-                    jnp.asarray(_pad1(it_lp_stay)),
-                    jnp.asarray(_pad1(it_lp_step)),
-                    lm_dev, ls_dev, ll_dev, pad_events=int(pad_e))
-                pending.append((idxs, n_sub, s))
+                def _deal(a, D=D, n_rows_d=n_rows_d):
+                    out = np.zeros((D,) + (n_rows_d,) + a.shape[1:],
+                                   dtype=a.dtype)
+                    for d in range(D):
+                        part = a[d::D]
+                        out[d, :part.shape[0]] = part
+                    return jnp.asarray(out)
+
+                ss = shard_hmm_forward(
+                    data_mesh(devs), _deal(args[0]), _deal(args[1]),
+                    ev_pool, *[_deal(a) for a in args[2:]],
+                    lm_dev, ls_dev, ll_dev, SEG=seg,
+                    interpret=self._interpret_kernels())
+                # un-deal: row r's scores live at ss[r % D, r // D]
+                s = jnp.transpose(ss, (1, 0, 2)).reshape(
+                    D * n_rows_d, segs)[:n_rows]
+            else:
+                s = hmm_forward_pallas(
+                    *(jnp.asarray(a) for a in args[:2]), ev_pool,
+                    *(jnp.asarray(a) for a in args[2:]),
+                    lm_dev, ls_dev, ll_dev, SEG=seg,
+                    interpret=self._interpret_kernels())
+            pending.append((idxs, n_sub, s))
+        large = order[ksizes[order] > 128]
+        if large.size:
+            idxs = large
+            pad_e = _bucket(int(sizes[idxs].max()), minimum=128)
+            pad_k = _bucket(int(ksizes[idxs].max()), minimum=256)
+            n_sub = idxs.shape[0]
+            n_pad = _nbucket(n_sub)
+            ranks, n_km = native.hmm_window_ranks(
+                n_sub, n_pad, pad_k, k, ref_concat, ref_off,
+                it_read[idxs], it_sub_start[idxs], it_sub_end[idxs],
+                it_meth[idxs], read_rc, self.cpg_model.num_kmers)
+
+            def _pad1(a, fill=0, idxs=idxs, n_pad=n_pad):
+                out = np.full(n_pad, fill, dtype=a.dtype)
+                out[:idxs.shape[0]] = a[idxs]
+                return out
+
+            s = hmm_forward_packed(
+                jnp.asarray(ranks), jnp.asarray(n_km), ev_pool,
+                jnp.asarray(_pad1(it_ev_start)),
+                jnp.asarray(_pad1(it_stride, fill=1)),
+                jnp.asarray(_pad1(it_n_ev)),
+                jnp.asarray(_pad1(it_scale, fill=1)),
+                jnp.asarray(_pad1(it_shift)),
+                jnp.asarray(_pad1(it_var, fill=1)),
+                jnp.asarray(_pad1(it_lp_stay)),
+                jnp.asarray(_pad1(it_lp_step)),
+                lm_dev, ls_dev, ll_dev, pad_events=pad_e)
+            pending.append((idxs, n_sub, s))
         for idxs, n_sub, s in pending:
             scores[idxs] = np.asarray(s).reshape(-1)[:n_sub]
         self.stage_time["hmm"] += time.time() - t0

@@ -100,3 +100,35 @@ def test_fast5_to_blow5_conversion(tmp_path):
             got = f.get(s.read_id)
             np.testing.assert_array_equal(got.raw, s.raw)
             np.testing.assert_allclose(got.to_pa(), s.to_pa())
+
+
+def test_ex_zd_roundtrip(tmp_path):
+    """ex-zd v0 signal codec (slow5lib slow5_press.c:1233-1848): encode
+    -> BLOW5 write -> read back bit-identical, including quantised and
+    exception-heavy signals."""
+    import numpy as np
+
+    from f5c_tpu.io.fast5 import Signal
+    from f5c_tpu.io.slow5 import (Slow5File, _ex_zd_decode, _ex_zd_encode,
+                                  write_blow5)
+
+    rng = np.random.default_rng(7)
+    sigs = [
+        rng.normal(500, 30, 8000).astype(np.int16),      # typical signal
+        (rng.integers(100, 400, 512) * 8).astype(np.int16),   # q = 3
+        np.array([0, 30000, -30000, 17], np.int16),      # exception-heavy
+        np.array([42], np.int16),
+    ]
+    for s in sigs:
+        assert np.array_equal(_ex_zd_decode(_ex_zd_encode(s)), s)
+    path = str(tmp_path / "exzd.blow5")
+    write_blow5(path, [
+        Signal(read_id=f"r{i}", raw=s, digitisation=8192.0, offset=10.0,
+               range=1500.0, sample_rate=4000.0)
+        for i, s in enumerate(sigs)
+    ], sig_press="ex-zd")
+    with Slow5File(path) as f:
+        assert f.header.sig_press == "ex-zd"
+        for i, s in enumerate(sigs):
+            got = f.get(f"r{i}")
+            assert np.array_equal(got.raw, s)
