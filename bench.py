@@ -99,7 +99,11 @@ def run_once(bam, genome, reads, out_path, slow5=None, tool="meth"):
 
 def main():
     tool = "eventalign" if "--tool=eventalign" in sys.argv else "meth"
-    tmp = tempfile.mkdtemp(prefix="f5c_tpu_bench_")
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    # the VM disk writes at ~9 MB/s; tmpfs keeps the bench about the
+    # pipeline, not the virtual disk (the reference benchmarks on hosts
+    # with real storage, test/benchmark.sh)
+    tmp = tempfile.mkdtemp(prefix="f5c_tpu_bench_", dir=shm)
     try:
         bam, genome, reads, n_reads, slow5 = setup_dataset(tmp, blow5=True)
         # two warm-up runs: the first compiles, the second flushes

@@ -141,12 +141,16 @@ class BgzfReader:
 
 
 class BgzfWriter:
-    """Streaming BGZF writer (used by the readdb/index builder)."""
+    """Streaming BGZF writer (used by the readdb/index builder).
+    Records per-block offsets so a ``.gzi`` index can be written for
+    random access without full decompression (htslib bgzf_index)."""
 
     def __init__(self, path: str, level: int = 6):
         self._f = open(path, "wb")
         self._buf = bytearray()
         self._level = level
+        self._blocks: list[tuple[int, int]] = []   # (coffset, uoffset)
+        self._uoff = 0
 
     def write(self, data: bytes):
         self._buf += data
@@ -155,6 +159,8 @@ class BgzfWriter:
             del self._buf[:0xFF00]
 
     def _flush_block(self, payload: bytes):
+        self._blocks.append((self._f.tell(), self._uoff))
+        self._uoff += len(payload)
         co = zlib.compressobj(self._level, zlib.DEFLATED, -15)
         cdata = co.compress(bytes(payload)) + co.flush()
         bsize = len(cdata) + 19 + 6 + 1
@@ -181,11 +187,34 @@ class BgzfWriter:
         self._f.write(self.EOF_BLOCK)
         self._f.close()
 
+    def write_gzi(self, path: str):
+        """Write the htslib .gzi block index: u64 count, then
+        (compressed, uncompressed) u64 offset pairs for every block
+        after the implicit first (0, 0)."""
+        tail = [b for b in self._blocks if b != (0, 0)]
+        with open(path, "wb") as f:
+            f.write(struct.pack("<Q", len(tail)))
+            for co, uo in tail:
+                f.write(struct.pack("<QQ", co, uo))
+
     def __enter__(self):
         return self
 
     def __exit__(self, *exc):
         self.close()
+
+
+def read_gzi(path: str) -> list[tuple[int, int]]:
+    """Parse a .gzi block index -> [(coffset, uoffset)] incl. the
+    implicit first block at (0, 0), sorted by uoffset."""
+    with open(path, "rb") as f:
+        data = f.read()
+    (n,) = struct.unpack_from("<Q", data, 0)
+    out = [(0, 0)]
+    for i in range(n):
+        co, uo = struct.unpack_from("<QQ", data, 8 + 16 * i)
+        out.append((co, uo))
+    return out
 
 
 def decompress_all(path: str) -> bytes:

@@ -10,7 +10,7 @@ from __future__ import annotations
 import os
 from dataclasses import dataclass
 
-from .bgzf import decompress_all, is_bgzf
+from .bgzf import BgzfReader, decompress_all, is_bgzf, read_gzi
 
 
 def read_fastx(path: str):
@@ -113,26 +113,38 @@ def read_fai(fai_path: str) -> dict[str, FaiEntry]:
 class FastaIndex:
     """faidx-style random access.
 
-    For plain FASTA, fetch seeks using the .fai geometry.  For BGZF FASTA
-    (e.g. the readdb ``.index`` file) the whole file is decompressed once
-    and held in memory — these read collections are tens of MB.
+    For plain FASTA, fetch seeks using the .fai geometry.  For BGZF
+    FASTA (e.g. the readdb ``.index`` file) a ``.gzi`` block index next
+    to the file enables streaming seeks at production scale (htslib
+    bgzf_useek path); without one the file is decompressed into memory
+    (fine for test-sized read sets).
     """
 
     def __init__(self, fasta_path: str):
+        import os as _os
+
         self.path = fasta_path
         fai = fasta_path + ".fai"
         self._bgzf = is_bgzf(fasta_path)
+        self._gzi = None
+        self._breader = None
+        self._data = None
         if self._bgzf:
-            self._data = decompress_all(fasta_path)
-        else:
-            self._data = None
+            gzi_path = fasta_path + ".gzi"
+            if _os.path.exists(gzi_path):
+                self._gzi = read_gzi(gzi_path)
+                self._breader = BgzfReader(fasta_path)
+            else:
+                self._data = decompress_all(fasta_path)
         if os.path.exists(fai):
             self.entries = read_fai(fai)
         elif not self._bgzf:
             self.entries = write_fai(fasta_path)
         else:
-            # index the decompressed buffer
-            self.entries = self._index_buffer(self._data)
+            # index the decompressed content
+            self.entries = self._index_buffer(
+                self._data if self._data is not None
+                else decompress_all(fasta_path))
         self._fh = None if self._bgzf else open(fasta_path, "rb")
 
     @staticmethod
@@ -180,11 +192,26 @@ class FastaIndex:
             (end - 1) - last_line * e.line_bases
         ) + 1
         if self._bgzf:
-            raw = self._data[byte_start:byte_end]
+            if self._gzi is not None:
+                raw = self._read_bgzf_range(byte_start, byte_end)
+            else:
+                raw = self._data[byte_start:byte_end]
         else:
             self._fh.seek(byte_start)
             raw = self._fh.read(byte_end - byte_start)
         return raw.replace(b"\n", b"").replace(b"\r", b"").decode()
+
+    def _read_bgzf_range(self, byte_start: int, byte_end: int) -> bytes:
+        """Streamed read of an uncompressed range via the .gzi index."""
+        import bisect
+
+        uoffs = [u for _, u in self._gzi]
+        i = bisect.bisect_right(uoffs, byte_start) - 1
+        coff, uoff = self._gzi[i]
+        within = byte_start - uoff
+        # block payloads are <= 64 KiB, so within fits a virtual offset
+        self._breader.seek_virtual((coff << 16) | within)
+        return self._breader.read(byte_end - byte_start)
 
     def close(self):
         if self._fh:

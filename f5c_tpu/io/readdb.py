@@ -33,6 +33,9 @@ class ReadDB:
         with BgzfWriter(self.index_path) as w:
             for name, seq, _ in read_fastx(self.reads_path):
                 w.write(f">{name}\n{seq}\n".encode())
+        # .gzi block index: random access into the bgzf copy without
+        # whole-file decompression (htslib bgzf_index_dump)
+        w.write_gzi(self.index_path + ".gzi")
         # fai over the *decompressed* content: FastaIndex handles bgzf
         fa = FastaIndex(self.index_path)
         with open(self.index_path + ".fai", "w") as f:

@@ -100,6 +100,14 @@ def _declare(lib):
         _u8p, _i64, _i64, _i32p, _i64, _f32p, _f32p, _f32p, _i64,
         _i32p, _i32p, _i32p, _i32p, ctypes.POINTER(ctypes.c_double),
         ctypes.POINTER(_f32), ctypes.POINTER(_f32), ctypes.POINTER(_f32)]
+    lib.f5c_realign_read.restype = _i64
+    lib.f5c_realign_read.argtypes = [
+        _i32p, _i32p, _i64, _i64, _int, _i64, _int,
+        _f32p, _i64, _i32p, _i64,
+        _i64p, _i64p, _i64p, _i64,
+        _f32, _f32, _f32, ctypes.c_double,
+        _f32p, _f32p, _f32p,
+        _i64p, _i64p, _u8p, _i64]
     lib.f5c_decode_qc_postalign.restype = _int
     lib.f5c_decode_qc_postalign.argtypes = [
         _u8p, _i64, _i64, _i32p, _i64, _f32p, _f32p, _f32p, _f32p,
@@ -243,7 +251,7 @@ def emit_eventalign_tsv(ref_position, event_idx, state, rc, ev_starts,
                         ref_offset, contig, name_field, k, level_mean,
                         level_stdv, scale, shift, var, sample_rate,
                         scale_events, write_signal_index, collapse,
-                        write_samples) -> str:
+                        write_samples, as_bytes: bool = False):
     """Render one read's eventalign TSV rows natively."""
     lib = get_lib()
     n = ref_position.shape[0]
@@ -268,7 +276,8 @@ def emit_eventalign_tsv(ref_position, event_idx, state, rc, ev_starts,
             int(scale_events), int(write_signal_index), int(collapse),
             int(write_samples), buf, cap)
         if ln >= 0:
-            return buf.raw[:ln].decode("latin1")
+            raw = buf.raw[:ln]
+            return raw if as_bytes else raw.decode("latin1")
         cap *= 2
 
 
@@ -349,6 +358,47 @@ def decode_postalign(packed_dirs: np.ndarray, n: int, start_event: int,
                   var=float(var.value)) if ok else Scalings()
     pairs = np.stack([pairs_k, pairs_e], axis=1)
     return bool(ok), pairs, b2e_start, b2e_stop, float(epb.value), sc
+
+
+def realign_read(fwd_ranks, rc_ranks, ref_len: int, ref_offset: int,
+                 k: int, read_len: int, rc: bool, ev_means, b2e_start,
+                 segments, scale: float, shift: float, var: float,
+                 events_per_base: float, level_mean, level_stdv,
+                 level_log_stdv):
+    """Whole-read eventalign re-alignment in one native call (the full
+    chunk loop of eventalign.c:1267-1531).  ``segments``: list of
+    (ref, read) pair arrays [n,2].  -> (ref_position i64, event_idx i64,
+    state u8) in forward order."""
+    lib = get_lib()
+    if not segments:
+        z = np.zeros(0, np.int64)
+        return z, z.copy(), np.zeros(0, np.uint8)
+    seg_ref = np.ascontiguousarray(
+        np.concatenate([s[:, 0] for s in segments]), dtype=np.int64)
+    seg_read = np.ascontiguousarray(
+        np.concatenate([s[:, 1] for s in segments]), dtype=np.int64)
+    seg_off = np.zeros(len(segments) + 1, np.int64)
+    np.cumsum([s.shape[0] for s in segments], out=seg_off[1:])
+    ev = np.ascontiguousarray(ev_means, dtype=np.float32)
+    cap = int(ev.shape[0] + seg_ref.shape[0] + 4096)
+    while True:
+        out_ref = np.empty(cap, np.int64)
+        out_ev = np.empty(cap, np.int64)
+        out_st = np.empty(cap, np.uint8)
+        n = lib.f5c_realign_read(
+            np.ascontiguousarray(fwd_ranks, dtype=np.int32),
+            np.ascontiguousarray(rc_ranks, dtype=np.int32),
+            ref_len, ref_offset, k, read_len, int(rc),
+            ev, ev.shape[0],
+            np.ascontiguousarray(b2e_start, dtype=np.int32),
+            int(np.asarray(b2e_start).shape[0]),
+            seg_ref, seg_read, seg_off, len(segments),
+            scale, shift, var, events_per_base,
+            level_mean, level_stdv, level_log_stdv,
+            out_ref, out_ev, out_st, cap)
+        if n >= 0:
+            return out_ref[:n].copy(), out_ev[:n].copy(), out_st[:n].copy()
+        cap *= 2
 
 
 def decode_qc_postalign(packed_dirs: np.ndarray, n: int, start_event: int,

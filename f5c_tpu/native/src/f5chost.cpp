@@ -649,6 +649,44 @@ static inline char comp_dna(char c) {
   }
 }
 
+// fast itoa / fixed-point float formatting for the TSV emitter: the
+// generic printf path costs ~2us/row (~2.5s on the 112-read set).
+// Rounding matches printf for every value whose scaled double is exact
+// at a decimal tie (round-half-even); values within ~1 ulp of a tie
+// may differ in the last digit — far inside the reference's own
+// tolerance (scripts/test.awk: 0.1*|x|+0.02).
+static inline int fmt_i64(char* o, long long v) {
+  if (v < 0) { *o = '-'; return 1 + fmt_i64(o + 1, -v); }
+  char tmp[24];
+  int n = 0;
+  do { tmp[n++] = (char)('0' + v % 10); v /= 10; } while (v);
+  for (int i = 0; i < n; i++) o[i] = tmp[n - 1 - i];
+  return n;
+}
+
+static inline int fmt_fixed(char* o, double v, int prec) {
+  static const double P[6] = {1, 10, 100, 1000, 10000, 100000};
+  if (!std::isfinite(v) || v >= 1e15 || v <= -1e15) {
+    char f[8] = {'%', '.', (char)('0' + prec), 'f', 0};
+    return sprintf(o, f, v);
+  }
+  int n = 0;
+  if (std::signbit(v)) { o[n++] = '-'; v = -v; }
+  double s = v * P[prec];
+  unsigned long long ip = (unsigned long long)s;
+  double frac = s - (double)ip;
+  if (frac > 0.5 || (frac == 0.5 && (ip & 1ULL))) ip++;
+  unsigned long long pw = (unsigned long long)P[prec];
+  n += fmt_i64(o + n, (long long)(ip / pw));
+  o[n++] = '.';
+  unsigned long long dec = ip % pw;
+  for (int i = prec - 1; i >= 0; i--) {
+    o[n + i] = (char)('0' + dec % 10);
+    dec /= 10;
+  }
+  return n + prec;
+}
+
 int64_t f5c_emit_eventalign_tsv(
     // records (forward order)
     const int64_t* ref_position, const int64_t* event_idx,
@@ -742,15 +780,29 @@ int64_t f5c_emit_eventalign_tsv(
     float standard_level = (event_mean - model_mean)
                            / (sqrt_var * model_stdv);
 
-    len += sprintf(out + len, "%s\t%ld\t%s\t%s\tt\t", contig, (long)rp,
-                   ref_kmer, name_field);
-    len += sprintf(out + len, "%ld\t%.2f\t%.3f\t%.5f\t", (long)e_i,
-                   event_mean, event_stdv, event_duration);
-    len += sprintf(out + len, "%s\t%.2f\t%.2f\t%.2f", model_kmer,
-                   model_mean, model_stdv, standard_level);
-    if (write_signal_index) {
-      len += sprintf(out + len, "\t%ld\t%ld", (long)start_idx,
-                     (long)end_idx);
+    {
+      char* o = out + len;
+      size_t cl = strlen(contig);
+      memcpy(o, contig, cl); o += cl; *o++ = '\t';
+      o += fmt_i64(o, rp); *o++ = '\t';
+      memcpy(o, ref_kmer, k); o += k; *o++ = '\t';
+      size_t nl = strlen(name_field);
+      memcpy(o, name_field, nl); o += nl;
+      *o++ = '\t'; *o++ = 't'; *o++ = '\t';
+      o += fmt_i64(o, e_i); *o++ = '\t';
+      o += fmt_fixed(o, event_mean, 2); *o++ = '\t';
+      o += fmt_fixed(o, event_stdv, 3); *o++ = '\t';
+      o += fmt_fixed(o, event_duration, 5); *o++ = '\t';
+      memcpy(o, model_kmer, k); o += k; *o++ = '\t';
+      o += fmt_fixed(o, model_mean, 2); *o++ = '\t';
+      o += fmt_fixed(o, model_stdv, 2); *o++ = '\t';
+      o += fmt_fixed(o, standard_level, 2);
+      if (write_signal_index) {
+        *o++ = '\t';
+        o += fmt_i64(o, start_idx); *o++ = '\t';
+        o += fmt_i64(o, end_idx);
+      }
+      len = o - out;
     }
     if (write_samples && raw_pa) {
       if (len + 16 * (end_idx - start_idx) + 16 > cap) return -1;
@@ -887,8 +939,17 @@ int64_t f5c_viterbi_chunk(
   const float pre0 = logf(0.5f);  // pre_flank[0] = log(1 - 0.5)
 
   // per-kmer scaled gaussians (division like the reference, not
-  // reciprocal-multiply, for exact emission parity)
-  std::vector<float> gm(n_kmers), gs(n_kmers), gl(n_kmers);
+  // reciprocal-multiply, for exact emission parity); buffers are
+  // thread-local and grow-only — the whole-read realign loop calls this
+  // ~200x per read and a full-plane -inf fill would cost more than the
+  // DP itself (only row 0 and each row's block-0 column are ever read
+  // without first being written)
+  static thread_local std::vector<float> gm, gs, gl, em, M, B, K;
+  static thread_local std::vector<uint8_t> bmM, bmB, bmK;
+  if ((int64_t)gm.size() < n_kmers) {
+    gm.resize(n_kmers); gs.resize(n_kmers); gl.resize(n_kmers);
+    em.resize(n_kmers);
+  }
   for (int64_t ki = 0; ki < n_kmers; ki++) {
     int32_t r = ranks[ki * rank_stride];
     gm[ki] = scale * level_mean[r] + shift;
@@ -898,22 +959,28 @@ int64_t f5c_viterbi_chunk(
 
   // state PLANES (struct-of-arrays): the M/B pass over blocks is then
   // data-parallel and auto-vectorizes; only the K chain stays scalar
-  std::vector<float> M(n_rows * nb, NEGINF), B(n_rows * nb, NEGINF),
-      K(n_rows * nb, NEGINF);
-  std::vector<uint8_t> bmM(n_rows * nb, 0), bmB(n_rows * nb, 0),
-      bmK(n_rows * nb, 0);
-  std::vector<float> em(n_kmers);
+  if ((int64_t)M.size() < n_rows * nb) {
+    M.resize(n_rows * nb); B.resize(n_rows * nb); K.resize(n_rows * nb);
+    bmM.resize(n_rows * nb); bmB.resize(n_rows * nb);
+    bmK.resize(n_rows * nb);
+  }
+  for (int64_t blk = 0; blk < nb; blk++) {
+    M[blk] = NEGINF; B[blk] = NEGINF; K[blk] = NEGINF;
+    bmM[blk] = 0; bmB[blk] = 0; bmK[blk] = 0;
+  }
 
   for (int64_t row = 1; row < n_rows; row++) {
-    float* Mc = M.data() + row * nb;
-    float* Bc = B.data() + row * nb;
-    float* Kc = K.data() + row * nb;
-    const float* Mp = M.data() + (row - 1) * nb;
-    const float* Bp = B.data() + (row - 1) * nb;
-    const float* Kp = K.data() + (row - 1) * nb;
+    float* __restrict Mc = M.data() + row * nb;
+    float* __restrict Bc = B.data() + row * nb;
+    float* __restrict Kc = K.data() + row * nb;
+    const float* __restrict Mp = M.data() + (row - 1) * nb;
+    const float* __restrict Bp = B.data() + (row - 1) * nb;
+    const float* __restrict Kp = K.data() + (row - 1) * nb;
     uint8_t* bM = bmM.data() + row * nb;
     uint8_t* bB = bmB.data() + row * nb;
     uint8_t* bK = bmK.data() + row * nb;
+    Mc[0] = NEGINF; Bc[0] = NEGINF; Kc[0] = NEGINF;
+    bM[0] = 0; bB[0] = 0; bK[0] = 0;
     float e = ev_pool[e_start + (row - 1) * stride];
 
     for (int64_t ki = 0; ki < n_kmers; ki++) {
@@ -1099,6 +1166,194 @@ int f5c_decode_qc_postalign(
       pairs_k, pairs_e, n, ranks, n_kmers, event_means, level_mean,
       level_stdv, min_num_events_to_rescale, b2e_start, b2e_stop,
       events_per_base, shift_out, scale_out, var_out);
+}
+
+// ---------------------------------------------------------------------------
+// Whole-read eventalign re-alignment: the full chunk loop of
+// src/eventalign.c:1267-1531 (align_read_to_ref) in one native call —
+// segment iteration, ~100-ref-base chunk cursor, per-chunk Viterbi
+// (f5c_viterbi_chunk), movement decode, OUTPUT_STRIDE-capped commit.
+// The Python lockstep engine (pipeline/eventalign.py) carries identical
+// cursor logic and serves as the oracle + the device-round path; this
+// entry removes ~200us of per-chunk Python/ctypes overhead on the
+// single-CPU host (21k chunks on the 112-read set).
+// ---------------------------------------------------------------------------
+
+static const int EA_ALIGN_STRIDE = 100;   // eventalign.c:1338
+static const int EA_OUTPUT_STRIDE = 50;   // eventalign.c:1339
+
+// closest-event lookup with the reference's scan bounds
+// (eventalign.c:971-996): nearest filled b2e_start entry, down-scan
+// first with exclusive stop, then up-scan
+struct EaClosest {
+  const int32_t* b2e;
+  std::vector<int64_t> back, fwd;
+  int64_t n;
+  void init(const int32_t* b, int64_t nk) {
+    b2e = b;
+    n = nk;
+    back.resize(nk);
+    fwd.resize(nk);
+    int64_t last = -1;
+    for (int64_t i = 0; i < nk; i++) {
+      if (b2e[i] != -1) last = i;
+      back[i] = last;
+    }
+    int64_t nxt = nk + 10;
+    for (int64_t i = nk - 1; i >= 0; i--) {
+      if (b2e[i] != -1) nxt = i;
+      fwd[i] = nxt;
+    }
+  }
+  int64_t operator()(int64_t k) const {
+    if (k >= 1) {
+      int64_t b = back[k < n ? k : n - 1];
+      int64_t stop = k - 1000 > 0 ? k - 1000 : 0;
+      if (b > stop) return b2e[b];
+    }
+    int64_t stop_after = (k + 1000 < n - 1) ? k + 1000 : n - 1;
+    int64_t f = k < n ? fwd[k] : n + 10;
+    if (f < stop_after) return b2e[f];
+    return -1;
+  }
+};
+
+static int64_t ea_end_pair(const int64_t* ref_pos, int64_t n_pairs,
+                           int64_t ref_pos_max, int64_t from) {
+  // first index after `from` whose ref exceeds max, minus one
+  // (eventalign.c:928-938); binary search on the ascending ref column
+  int64_t lo = from, hi = n_pairs;
+  while (lo < hi) {
+    int64_t mid = (lo + hi) / 2;
+    if (ref_pos[mid] <= ref_pos_max) lo = mid + 1; else hi = mid;
+  }
+  if (lo >= n_pairs) return n_pairs - 1;
+  return lo - 1;
+}
+
+int64_t f5c_realign_read(
+    const int32_t* fwd_ranks, const int32_t* rc_ranks, int64_t n_ref,
+    int64_t ref_offset,
+    int k, int64_t read_len, int rc,
+    const float* ev_means, int64_t n_events,
+    const int32_t* b2e_start, int64_t n_read_kmers,
+    // segments: concatenated (ref, read) pair columns + offsets
+    const int64_t* seg_ref, const int64_t* seg_read,
+    const int64_t* seg_off, int64_t n_segs,
+    float scale, float shift, float var, double events_per_base,
+    const float* level_mean, const float* level_stdv,
+    const float* level_log_stdv,
+    int64_t* out_ref, int64_t* out_ev, uint8_t* out_state,
+    int64_t cap) {
+  EaClosest closest;
+  closest.init(b2e_start, n_read_kmers);
+  int64_t n_out = 0;
+  int64_t L = n_ref;  // ref_disamb length == n_ref (ranks arrays have
+                      // L-k+1 entries; callers pass L)
+  std::vector<uint8_t> movs;
+  movs.resize(4096);
+
+  for (int64_t si = 0; si < n_segs; si++) {
+    const int64_t* pr = seg_ref + seg_off[si];
+    const int64_t* pq = seg_read + seg_off[si];
+    int64_t np = seg_off[si + 1] - seg_off[si];
+    // trim to max kmer index (eventalign.c:956-966)
+    int64_t max_kmer_idx = read_len - k;
+    while (np > 0 && pq[np - 1] > max_kmer_idx) np--;
+    if (np == 0) return n_out;   // reference returns early
+    int64_t ks = pq[0], ke = pq[np - 1];
+    if (rc) {
+      ks = read_len - ks - k;
+      ke = read_len - ke - k;
+    }
+    int64_t first_event = closest(ks);
+    int64_t last_event = closest(ke);
+    int fwdd = first_event < last_event;
+    int64_t curr_start_event = first_event;
+    int64_t curr_start_ref = pr[0];
+    int64_t curr_pair_idx = 0;
+
+    for (;;) {
+      if (!((fwdd && curr_start_event < last_event)
+            || (!fwdd && curr_start_event > last_event)))
+        break;
+      int64_t end_pair_idx = ea_end_pair(
+          pr, np, curr_start_ref + EA_ALIGN_STRIDE, curr_pair_idx);
+      int64_t curr_end_ref = pr[end_pair_idx];
+      int64_t curr_end_read = pq[end_pair_idx];
+      if (rc) curr_end_read = read_len - curr_end_read - k;
+      int64_t s = curr_start_ref - ref_offset;
+      int64_t l = curr_end_ref - curr_start_ref + 1;
+      if (l < 2 * k) break;
+      int64_t e_stop = closest(curr_end_read);
+      int64_t diff = curr_start_event - e_stop;
+      if (diff < 0) diff = -diff;
+      if (diff < 2) break;
+      int stride = curr_start_event < e_stop ? 1 : -1;
+      int64_t n_kmers = l - k + 1;
+      int64_t n_ev = diff + 1;
+      const int32_t* rks;
+      int64_t rstride;
+      if (!rc) {
+        rks = fwd_ranks + s;
+        rstride = 1;
+      } else {
+        rks = rc_ranks + (L - s - k);
+        rstride = -1;
+      }
+      if ((int64_t)movs.size() < n_ev + n_kmers + 4)
+        movs.resize(n_ev + n_kmers + 4);
+      int64_t n_mv = f5c_viterbi_chunk(
+          rks, rstride, n_kmers, ev_means, curr_start_event, stride,
+          n_ev, scale, shift, var, events_per_base, level_mean,
+          level_stdv, level_log_stdv, movs.data());
+
+      // decode movements (walk order = reverse path) + commit with the
+      // OUTPUT_STRIDE cap (eventalign.c:1424-1521)
+      int last_section = end_pair_idx == np - 1;
+      // reconstruct (event, kmer, state) in FORWARD order and emit
+      // rows where state != K and event != e_start
+      int64_t row = n_ev, kmer = n_kmers - 1;
+      int ps = 2;  // M
+      // first pass: walk to collect states in reverse; emit forward
+      // by replaying from the end of a temporary stack
+      static thread_local std::vector<int64_t> t_ev, t_km;
+      static thread_local std::vector<uint8_t> t_ps;
+      t_ev.clear(); t_km.clear(); t_ps.clear();
+      for (int64_t i = 0; i < n_mv; i++) {
+        t_ev.push_back(curr_start_event + (row - 1) * stride);
+        t_km.push_back(kmer);
+        t_ps.push_back((uint8_t)ps);
+        int mv = movs[i];
+        if (mv == 1 || mv == 3 || mv == 4) kmer--;   // PREV_* moves
+        if (ps != 0) row--;                          // K is silent
+        static const int next_ps[6] = {2, 2, 1, 1, 0, 0};
+        ps = next_ps[mv];
+      }
+      // forward order = reversed walk; apply emit mask + stride cap
+      int64_t emitted = 0;
+      int64_t last_event_output = -1, last_ref_kmer_output = -1;
+      for (int64_t i = (int64_t)t_ev.size() - 1; i >= 0; i--) {
+        uint8_t st = t_ps[i];
+        int64_t ev = t_ev[i];
+        if (st == 0 || ev == curr_start_event) continue;
+        if (!last_section && emitted >= EA_OUTPUT_STRIDE) break;
+        if (n_out >= cap) return -1;
+        out_ref[n_out] = curr_start_ref + t_km[i];
+        out_ev[n_out] = ev;
+        out_state[n_out] = st;
+        n_out++;
+        emitted++;
+        last_event_output = ev;
+        last_ref_kmer_output = curr_start_ref + t_km[i];
+      }
+      if (emitted == 0) break;
+      curr_start_event = last_event_output;
+      curr_start_ref = last_ref_kmer_output;
+      curr_pair_idx = ea_end_pair(pr, np, curr_start_ref, curr_pair_idx);
+    }
+  }
+  return n_out;
 }
 
 // Slim variant of f5c_hmm_assemble for device-side assembly: only the

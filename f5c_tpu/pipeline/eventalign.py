@@ -294,6 +294,31 @@ class EventalignEngine:
             if not st.start_segment(k):
                 st.done = True
             states.append(st)
+        import os as _os
+        if (self.host_round_max > 0 and native.available()
+                and _os.environ.get("F5C_TPU_EA_ENGINE", "native")
+                != "python"):
+            # whole-read native loop: the chunk chain is strictly
+            # sequential per read, and on the tunnelled chip the host
+            # C++ path beats device rounds; one call per read removes
+            # ~200us/chunk of Python+ctypes overhead (f5c_realign_read)
+            m = self.model
+            out = {}
+            for st in states:
+                r = st.read
+                sc = r.scaling
+                rr, ev, ps = native.realign_read(
+                    st.fwd_ranks, st.rc_ranks, len(st.ref_disamb),
+                    st.ref_offset, k, len(r.seq), r.is_reverse,
+                    r.event_means, r.b2e_start, st.segments,
+                    sc.scale, sc.shift, sc.var, r.events_per_base,
+                    m.level_mean, m.level_stdv, m.level_log_stdv)
+                out[id(r)] = EventAlignmentRecords(
+                    ref_position=rr, event_idx=ev, state=ps,
+                    rc=bool(r.is_reverse), ref_disamb=st.ref_disamb,
+                    ref_offset=st.ref_offset)
+            return out
+
         if rank_parts:
             # pools uploaded once per batch; rounds only ship tiny specs
             self._rank_pool = jnp.asarray(np.ascontiguousarray(
@@ -552,7 +577,7 @@ def emit_tsv(recs: EventAlignmentRecords, read, model, contig: str,
              ref_disamb: bytes, ref_offset: int, read_idx: int,
              print_read_names=False, scale_events=False,
              write_samples=False, write_signal_index=False,
-             collapse=False) -> str:
+             collapse=False, as_bytes=False):
     """eventalign.c:2038-2176."""
     from .. import native
 
@@ -570,7 +595,7 @@ def emit_tsv(recs: EventAlignmentRecords, read, model, contig: str,
             read.qname if print_read_names else str(read_idx), k,
             model.level_mean, model.level_stdv, sc.scale, sc.shift,
             sc.var, sample_rate, scale_events, write_signal_index,
-            collapse, write_samples)
+            collapse, write_samples, as_bytes=as_bytes)
     ref_kmers, model_kmers = _kmers_for_records(recs, ref_disamb,
                                                 ref_offset, k)
     ev_means = read.event_means
@@ -814,6 +839,8 @@ def run_eventalign(pipe, args, out=sys.stdout):
     """CLI driver: batch loop + emission in BAM order (meth_main mode 1)."""
     import time as _time
 
+    from .writer import AsyncWriter
+
     sam = getattr(args, "sam", False)
     paf = getattr(args, "paf", False)
     m6anet = getattr(args, "m6anet", False)
@@ -827,12 +854,13 @@ def run_eventalign(pipe, args, out=sys.stdout):
     if getattr(args, "summary", None):
         summary_fp = open(args.summary, "w")
         summary_fp.write(summary_header())
+    sink = AsyncWriter(out)   # post-processor thread (meth_main.c:610)
     if sam:
-        out.write(pipe.bam.header_text.rstrip("\n") + "\n")
+        sink.write(pipe.bam.header_text.rstrip("\n") + "\n")
     elif not paf and not m6anet:
-        out.write(tsv_header(print_rn, samples, signal_index))
+        sink.write(tsv_header(print_rn, samples, signal_index))
     elif m6anet:
-        out.write(m6anet_header(print_rn, signal_index))
+        sink.write(m6anet_header(print_rn, signal_index))
 
     engine = EventalignEngine(pipe.model, region_start=pipe.clip_start,
                               region_end=pipe.clip_end)
@@ -863,22 +891,25 @@ def run_eventalign(pipe, args, out=sys.stdout):
             if recs.ref_position.shape[0] == 0:
                 continue
             if paf:
-                out.write(emit_paf(recs, r, contig, ref_len, pipe.model.k,
-                                   rna))
+                sink.write(emit_paf(recs, r, contig, ref_len,
+                                    pipe.model.k, rna))
             elif sam:
-                out.write(emit_sam(recs, r, contig, ref_len,
-                                   getattr(args, "sam_out_version", 2),
-                                   rna))
+                sink.write(emit_sam(recs, r, contig, ref_len,
+                                    getattr(args, "sam_out_version", 2),
+                                    rna))
             elif m6anet:
-                out.write(emit_m6anet_tsv(
+                sink.write(emit_m6anet_tsv(
                     recs, r, pipe.model, contig, recs.ref_disamb,
                     recs.ref_offset, r.read_idx, print_rn, signal_index))
             else:
-                out.write(emit_tsv(
+                sink.write(emit_tsv(
                     recs, r, pipe.model, contig, recs.ref_disamb,
                     recs.ref_offset, r.read_idx, print_rn, scale_events,
-                    samples, signal_index, collapse))
+                    samples, signal_index, collapse, as_bytes=True))
         pipe.stage_time["output"] += _time.time() - t0
+    t0 = _time.time()
+    sink.close()
+    pipe.stage_time["output"] += _time.time() - t0
     if summary_fp is not None:
         summary_fp.close()
 

@@ -103,3 +103,43 @@ def test_read_fastx(tmp_path):
     p2.write_text(">a\nACGT\nACGT\n>b\nTTTT\n")
     recs = list(read_fastx(str(p2)))
     assert recs == [("a", "ACGTACGT", None), ("b", "TTTT", None)]
+
+
+def test_fasta_gzi_streaming_matches_inmemory(tmp_path):
+    """BGZF FASTA with a .gzi block index streams fetches (no whole-file
+    decompression) identically to the in-memory path; our index builder
+    writes a .gzi the htslib reader accepts (same layout)."""
+    import shutil
+
+    import numpy as np
+
+    from f5c_tpu.io.fasta import FastaIndex
+
+    src = os.path.join(ECOLI_DIR, "reads.fasta.index")
+    for ext in ("", ".fai", ".gzi"):
+        shutil.copy(src + ext, tmp_path / ("ix" + ext))
+    a = FastaIndex(str(tmp_path / "ix"))
+    assert a._gzi is not None
+    os.remove(tmp_path / "ix.gzi")
+    b = FastaIndex(str(tmp_path / "ix"))
+    assert b._gzi is None
+    rng = np.random.default_rng(0)
+    for n in rng.choice(a.names(), 20):
+        assert a.fetch(n) == b.fetch(n)
+        L = a.entries[n].length
+        s, e = sorted(rng.integers(0, L, 2).tolist())
+        assert a.fetch(n, s, e) == b.fetch(n, s, e)
+
+
+def test_readdb_build_writes_gzi(tmp_path):
+    import shutil
+
+    from f5c_tpu.io.bgzf import read_gzi
+    from f5c_tpu.io.readdb import ReadDB
+
+    reads = tmp_path / "reads.fasta"
+    shutil.copy(os.path.join(ECOLI_DIR, "reads.fasta"), reads)
+    ReadDB(str(reads)).build(
+        fast5_dirs=[os.path.join(ECOLI_DIR, "fast5_files")])
+    gzi = read_gzi(str(reads) + ".index.gzi")
+    assert gzi[0] == (0, 0) and len(gzi) >= 1

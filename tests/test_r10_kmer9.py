@@ -137,3 +137,18 @@ def test_k9_end_to_end(tmp_path):
         start = int(r_[2])
         assert seq[start:start + 2] == "CG"
         assert np.isfinite(float(r_[5]))
+
+
+def test_r10_without_model_is_a_hard_error(tmp_path):
+    """--pore r10 must not silently score R10 signal with the R9 6-mer
+    table (VERDICT r1 item 8): an explicit --kmer-model is demanded."""
+    import pytest
+
+    from f5c_tpu.pipeline.runner import Options, Pipeline
+
+    from conftest import ECOLI_DIR
+    import os
+    bam = os.path.join(ECOLI_DIR, "reads.sorted.bam")
+    reads = os.path.join(ECOLI_DIR, "reads.fasta")
+    with pytest.raises(RuntimeError, match="--kmer-model"):
+        Pipeline(bam, reads, reads, Options(pore="r10"))
