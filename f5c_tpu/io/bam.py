@@ -48,6 +48,69 @@ class BamRecord:
     l_seq: int
     _seq_packed: bytes
     _aux: bytes = b""
+    _qual: bytes = b""
+    rnext: int = -1
+    pnext: int = -1
+    tlen: int = 0
+
+    @property
+    def qual(self) -> str:
+        """Phred+33 quality string ('*' when absent)."""
+        if not self._qual or self._qual[0] == 0xFF:
+            return "*"
+        return bytes(q + 33 for q in self._qual).decode("latin1")
+
+    def aux_sam_tags(self) -> list[str]:
+        """Render the record's aux fields as SAM text tags (the
+        reference emits eventalign SAM from the original bam1_t,
+        eventalign.c:1891-1994, so original tags must survive)."""
+        data = self._aux
+        out = []
+        i, n = 0, len(data)
+        fmts = {ord("c"): ("<b", 1), ord("C"): ("<B", 1),
+                ord("s"): ("<h", 2), ord("S"): ("<H", 2),
+                ord("i"): ("<i", 4), ord("I"): ("<I", 4)}
+        while i + 3 <= n:
+            tag = data[i:i + 2].decode("latin1")
+            typ = data[i + 2]
+            i += 3
+            if typ in fmts:
+                fmt, sz = fmts[typ]
+                v = struct.unpack_from(fmt, data, i)[0]
+                i += sz
+                out.append(f"{tag}:i:{v}")
+            elif typ == ord("A"):
+                out.append(f"{tag}:A:{chr(data[i])}")
+                i += 1
+            elif typ == ord("f"):
+                (v,) = struct.unpack_from("<f", data, i)
+                i += 4
+                out.append(f"{tag}:f:{v:g}")
+            elif typ == ord("d"):
+                (v,) = struct.unpack_from("<d", data, i)
+                i += 8
+                out.append(f"{tag}:f:{v:g}")
+            elif typ in (ord("Z"), ord("H")):
+                j = data.index(b"\x00", i)
+                out.append(f"{tag}:{chr(typ)}:"
+                           f"{data[i:j].decode('latin1')}")
+                i = j + 1
+            elif typ == ord("B"):
+                sub = data[i]
+                (cnt,) = struct.unpack_from("<i", data, i + 1)
+                i += 5
+                sfmt, ssz = fmts.get(sub, ("<B", 1))
+                if sub == ord("f"):
+                    sfmt, ssz = "<f", 4
+                vals = [struct.unpack_from(sfmt, data, i + k * ssz)[0]
+                        for k in range(cnt)]
+                i += ssz * cnt
+                out.append(f"{tag}:B:{chr(sub)}," +
+                           ",".join(f"{v:g}" if sub == ord("f")
+                                    else str(v) for v in vals))
+            else:
+                break
+        return out
 
     def aux_int(self, tag: str, default: int = 0) -> int:
         """Integer aux field (e.g. NM), htslib bam_aux2i semantics."""
@@ -124,10 +187,13 @@ def _parse_record(rec: bytes) -> BamRecord:
     cigar = [(c & 0xF, c >> 4) for c in cig_raw]
     p += 4 * n_cig
     seq_packed = rec[p : p + (l_seq + 1) // 2]
-    p += (l_seq + 1) // 2 + l_seq   # skip qual
+    p += (l_seq + 1) // 2
+    qual = rec[p : p + l_seq]
+    p += l_seq
     return BamRecord(
         qname=qname, flag=flag, tid=refID, pos=pos, mapq=mapq,
-        cigar=cigar, l_seq=l_seq, _seq_packed=seq_packed, _aux=rec[p:])
+        cigar=cigar, l_seq=l_seq, _seq_packed=seq_packed, _aux=rec[p:],
+        _qual=qual, rnext=_nrid, pnext=_npos, tlen=_tlen)
 
 
 class BamReader:

@@ -988,7 +988,13 @@ int64_t f5c_viterbi_chunk(
       em[ki] = LOG_INV_SQRT_2PI - gl[ki] + (-0.5f * a * a);
     }
 
-    // MATCH + BAD_EVENT: vectorizable over blocks (prev-row deps only)
+    // MATCH + BAD_EVENT: branch-free so the loop vectorizes over
+    // blocks (prev-row deps only).  The running-max tie rule ("last
+    // equal index wins", hmm.c update_cell) is equivalent to "last
+    // index equal to the FINAL max": any later candidate that ties its
+    // own running max either equals or exceeds every earlier one.
+    const float* __restrict emv = em.data();
+#pragma GCC ivdep
     for (int64_t ki = 0; ki < n_kmers; ki++) {
       int64_t blk = ki + 1;
       float s0 = lp_mm_self + Mp[blk];
@@ -996,20 +1002,22 @@ int64_t f5c_viterbi_chunk(
       float s2 = lp_b3 + Bp[blk];
       float s3 = lp_b3 + Bp[blk - 1];
       float s4 = lp_km + Kp[blk - 1];
-      // HMT order with LAST equal index winning
-      float mx = s0;
-      uint8_t frm = 0;
-      mx = s1 > mx ? s1 : mx; frm = mx == s1 ? (uint8_t)1 : frm;
-      mx = s2 > mx ? s2 : mx; frm = mx == s2 ? (uint8_t)2 : frm;
-      mx = s3 > mx ? s3 : mx; frm = mx == s3 ? (uint8_t)3 : frm;
-      mx = s4 > mx ? s4 : mx; frm = mx == s4 ? (uint8_t)4 : frm;
-      Mc[blk] = mx + em[ki];
-      bM[blk] = frm;
+      float mx01 = s1 > s0 ? s1 : s0;
+      float mx23 = s3 > s2 ? s3 : s2;
+      float mx = mx01 > mx23 ? mx01 : mx23;
+      mx = s4 > mx ? s4 : mx;
+      int32_t frm = 0;
+      frm = (s1 == mx) ? 1 : frm;
+      frm = (s2 == mx) ? 2 : frm;
+      frm = (s3 == mx) ? 3 : frm;
+      frm = (s4 == mx) ? 4 : frm;
+      Mc[blk] = mx + emv[ki];
+      bM[blk] = (uint8_t)frm;
 
       float b_m = lp_mb + Mp[blk];
       float b_b = lp_bb + Bp[blk];
       Bc[blk] = b_b >= b_m ? b_b : b_m;
-      bB[blk] = b_b >= b_m ? (uint8_t)VHMT_SAME_B : (uint8_t)VHMT_SAME_M;
+      bB[blk] = (uint8_t)(b_b >= b_m ? VHMT_SAME_B : VHMT_SAME_M);
     }
     if (row == 1) {   // soft start into kmer 0 (HMT_FROM_SOFT, index 5)
       float s5 = pre0;

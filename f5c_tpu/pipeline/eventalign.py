@@ -935,7 +935,13 @@ def emit_sam(recs: EventAlignmentRecords, read, contig: str, ref_len: int,
     cigar = "".join(f"{ln}{'MIDNSHP=X'[op]}" for op, ln in read.cigar)
     si = (f"{ss['start_raw']},{ss['end_raw']},"
           f"{ss['start_kmer']},{ss['end_kmer']}")
+    # v2 re-emits the ORIGINAL record (qualities + aux tags) and appends
+    # the signal tags, like the reference's sam_format1 + bam_aux append
+    # (eventalign.c:1891-1994)
+    qual = getattr(read, "qual", "*") or "*"
+    aux = "".join(f"\t{t}" for t in getattr(read, "sam_aux", ()))
     return (f"{read.qname}\t{read.flag}\t{contig}\t{read.pos + 1}\t"
-            f"{read.mapq}\t{cigar}\t*\t0\t0\t{read.seq}\t*\t"
+            f"{read.mapq}\t{cigar}\t*\t0\t0\t{read.seq}\t{qual}"
+            f"{aux}\t"
             f"si:Z:{si}\tss:Z:{ss['ss']}\tsc:f:{sc.scale:.2f}\t"
             f"sh:f:{sc.shift:.2f}\n")

@@ -99,6 +99,8 @@ class ReadRecord:
     sample_rate: float = 0.0
     signal_path: str = ""
     raw_pa: np.ndarray | None = None   # kept only when emitters need samples
+    qual: str = "*"                    # original base qualities (SAM v2)
+    sam_aux: tuple = ()                # original aux tags rendered as SAM
     event_starts: np.ndarray | None = None
     event_lengths: np.ndarray | None = None
     event_stdvs: np.ndarray | None = None
@@ -338,6 +340,9 @@ class Pipeline:
                     cigar=rec.cigar, is_reverse=rec.is_reverse, seq=seq,
                     flag=rec.flag, mapq=rec.mapq,
                     nm=rec.aux_int("NM") if hasattr(rec, "aux_int") else 0,
+                    qual=rec.qual if hasattr(rec, "qual") else "*",
+                    sam_aux=(tuple(rec.aux_sam_tags())
+                             if hasattr(rec, "aux_sam_tags") else ()),
                     signal_path=path))
                 bases += len(seq)
                 if len(batch) >= opt.batch_reads or bases >= opt.batch_bases:
