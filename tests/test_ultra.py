@@ -117,3 +117,60 @@ def test_chunked_500kb_aligns_on_device():
         1.0, 0.0, **lps, win_bands=1 << 15)
     assert (n_u, se_u) == (n_b, se_b)
     np.testing.assert_array_equal(dirs, _unpack(packed_b, n_b))
+
+
+def test_pipeline_routes_through_ultra_path():
+    """Forcing a tiny trace budget routes normal reads through the
+    chunked window path inside Pipeline.align_batch; results must be
+    bit-identical to the regular ring path."""
+    _skip_on_cpu()
+    import os
+
+    from conftest import ECOLI_DIR
+    from f5c_tpu import native
+    from f5c_tpu.io.bam import BamReader
+    from f5c_tpu.io.fasta import FastaIndex
+    from f5c_tpu.io.fast5 import read_fast5_signal
+    from f5c_tpu.io.readdb import scan_fast5_dirs
+    from f5c_tpu.models import builtin_model
+    from f5c_tpu.pipeline.runner import Options, Pipeline, ReadRecord
+
+    model = builtin_model("dna_r9_nucleotide")
+    bam = BamReader(os.path.join(ECOLI_DIR, "reads.sorted.bam"))
+    fa = FastaIndex(os.path.join(ECOLI_DIR, "reads.fasta"))
+    paths = scan_fast5_dirs([os.path.join(ECOLI_DIR, "fast5_files")])
+
+    def build(n=3):
+        out = []
+        for i, rec in enumerate(r for r in bam if not r.is_unmapped):
+            if i >= n:
+                break
+            seq = fa.fetch(rec.qname)
+            sig = read_fast5_signal(paths[rec.qname])
+            et = native.detect_events(sig.to_pa())
+            rks = native.kmer_ranks(seq, model.k)
+            sc = native.mom_scalings(et.mean, rks, model.level_mean)
+            out.append(ReadRecord(
+                qname=rec.qname, read_idx=i, tid=rec.tid, pos=rec.pos,
+                cigar=rec.cigar, is_reverse=rec.is_reverse, seq=seq,
+                event_means=et.mean, n_events=et.mean.shape[0],
+                scaling=sc))
+        return out
+
+    pipe = Pipeline.bare(Options(), model)
+    normal = build()
+    pipe.align_batch(normal)
+
+    pipe2 = Pipeline.bare(Options(), model)
+    pipe2.TRACE_BYTES_BUDGET = 1   # everything goes ultra
+    routed = build()
+    pipe2.align_batch(routed)
+
+    for a, b in zip(normal, routed):
+        assert a.status == b.status, a.qname
+        if a.pairs is None:
+            assert b.pairs is None
+            continue
+        np.testing.assert_array_equal(a.pairs, b.pairs, err_msg=a.qname)
+        assert (a.scaling.shift, a.scaling.scale, a.scaling.var) == \
+            (b.scaling.shift, b.scaling.scale, b.scaling.var)
