@@ -518,6 +518,10 @@ def write_blow5(path: str, signals, rec_press: str = "zlib",
                       else bytes(sig_bytes)))
             if rec_press == "zlib":
                 blob = zlib.compress(rec)
+            elif rec_press == "zstd":
+                import zstandard
+
+                blob = zstandard.ZstdCompressor().compress(rec)
             elif rec_press == "none":
                 blob = rec
             else:

@@ -16,6 +16,7 @@ N+1 (the reference's pthread pipeline, here a thread + process pool).
 
 from __future__ import annotations
 
+import functools
 import os
 import sys
 import time
@@ -282,12 +283,15 @@ class Pipeline:
             yield from self.bam
 
     # ---- batch iteration ------------------------------------------------
-    def batches(self, keep_raw: bool = False):
-        """Yield lists of ReadRecord (loaded, events+MoM done)."""
+    def batches(self, keep_raw: bool = False, load: bool = True):
+        """Yield lists of ReadRecord (loaded, events+MoM done).  With
+        ``load=False``, yield the filtered records with signals NOT yet
+        fetched — the wave-pipelined align path loads them interleaved
+        with device dispatches (align_batch_waved)."""
         opt = self.opt
         import multiprocessing as mp
 
-        if opt.num_proc <= 1:
+        if not load or opt.num_proc <= 1:
             # single host core: run loads inline, no IPC overhead
             _worker_init(self._model_kind, opt.kmer_model_path, opt.rna)
             pool = None
@@ -351,7 +355,8 @@ class Pipeline:
                             f"[f5c-tpu] {len(batch)} entries "
                             f"({bases/1e6:.1f}M bases) loaded\n")
                     self._n_batches += 1
-                    yield self._load_batch(pool, batch, keep_raw)
+                    yield (self._load_batch(pool, batch, keep_raw)
+                           if load else batch)
                     batch, bases = [], 0
             if batch:
                 if opt.verbose >= 1:
@@ -359,7 +364,8 @@ class Pipeline:
                         f"[f5c-tpu] {len(batch)} entries "
                         f"({bases/1e6:.1f}M bases) loaded\n")
                 self._n_batches += 1
-                yield self._load_batch(pool, batch, keep_raw)
+                yield (self._load_batch(pool, batch, keep_raw)
+                       if load else batch)
         finally:
             if pool is not None:
                 pool.shutdown(wait=False, cancel_futures=True)
@@ -382,21 +388,25 @@ class Pipeline:
                    else pool.map(_worker_load, args))
         for r, (qname, data) in zip(batch, results):
             assert qname == r.qname
-            if data is None:
-                self.counters["bad_signal"] += 1
-                r.status |= FAILED_ALIGNMENT
-                continue
-            r.event_means = data["event_means"]
-            r.n_events = r.event_means.shape[0]
-            r.scaling = data["scaling"]
-            r.sample_rate = data["sample_rate"]
-            r.event_starts = data["event_starts"]
-            r.event_lengths = data["event_lengths"]
-            r.event_stdvs = data["event_stdvs"]
-            r.nsample = data["nsample"]
-            r.raw_pa = data["raw_pa"]
+            self._populate_read(r, data)
         self.stage_time["events"] += time.time() - t0
         return batch
+
+    def _populate_read(self, r: ReadRecord, data) -> bool:
+        if data is None:
+            self.counters["bad_signal"] += 1
+            r.status |= FAILED_ALIGNMENT
+            return False
+        r.event_means = data["event_means"]
+        r.n_events = r.event_means.shape[0]
+        r.scaling = data["scaling"]
+        r.sample_rate = data["sample_rate"]
+        r.event_starts = data["event_starts"]
+        r.event_lengths = data["event_lengths"]
+        r.event_stdvs = data["event_stdvs"]
+        r.nsample = data["nsample"]
+        r.raw_pa = data["raw_pa"]
+        return True
 
     # ---- device stages ---------------------------------------------------
     def _use_pallas(self) -> bool:
@@ -503,6 +513,9 @@ class Pipeline:
     # same way, f5c.cu:110-157); tunable via F5C_TPU_TRACE_BYTES
     TRACE_BYTES_BUDGET = int(os.environ.get("F5C_TPU_TRACE_BYTES",
                                             4_000_000_000))
+    # the Pallas HMM scorer keeps the whole event pool VMEM-resident
+    # (2*pool + padding must fit on-core); batches beyond this split
+    HMM_POOL_CAP = 1_300_000
 
     def align_batch(self, batch: list[ReadRecord]):
         """ABEA on device for all loadable reads; fills pairs + scaling.
@@ -510,9 +523,19 @@ class Pipeline:
         Reads are sorted by event count and split into length-binned
         sub-batches under a device trace-memory budget, so one huge batch
         neither pads every read to the global maximum nor overflows HBM.
+
+        TPU-first schedule (single device): the batch's event/rank pools
+        ride to the device ONCE (async H2D), all length-bucketed fill
+        launches are dispatched back-to-back without waiting, and the
+        host decodes each launch's compact walk while the device fills
+        the next — the analogue of the reference's concurrent CPU/GPU
+        split (f5c.cu:647-1061), but overlapping decode with fill
+        instead of splitting reads.  The uploaded event pool is reused
+        by the HMM stage (no second transfer over the tunnel).
         """
         from .. import native
 
+        self._hmm_pool = None
         todo = []
         for r in batch:
             if r.status or r.event_means is None:
@@ -550,6 +573,10 @@ class Pipeline:
             todo = todo2
             if not todo:
                 return
+        kernel = os.environ.get("F5C_TPU_FILL", "ring")
+        if self._use_pallas() and kernel == "ring" \
+                and not self._mesh_devices():
+            return self._align_bucketed_async(todo, ranks)
         sub: list[ReadRecord] = []
         for r in todo:
             cand = sub + [r]
@@ -565,6 +592,337 @@ class Pipeline:
                 sub = cand
         if sub:
             self._align_subbatch(sub, [ranks[id(x)] for x in sub])
+
+    # single-read Pallas launches (grid=1) wedge the tunnelled chip —
+    # groups are padded to a multiple of R (see CLAUDE.md)
+    def _align_bucketed_async(self, todo: list[ReadRecord], ranks: dict):
+        """Length-bucketed multi-launch ring ABEA with deferred sync."""
+        import jax
+        import jax.numpy as jnp
+
+        from ..ops.abea_pallas import CHUNK
+        from ..ops.abea_ring import R as RSTEP
+        from ..ops.abea_ring import abea_align_device_ring
+
+        t0 = time.time()
+        # ---- batch-wide pools, ONE async H2D ----
+        ev_len_all = np.array([r.n_events for r in todo], np.int32)
+        rk_list = [ranks[id(r)] for r in todo]
+        rk_len_all = np.array([k.shape[0] for k in rk_list], np.int32)
+        ev_off_all = np.zeros(len(todo), np.int32)
+        np.cumsum(ev_len_all[:-1], out=ev_off_all[1:])
+        rk_off_all = np.zeros(len(todo), np.int32)
+        np.cumsum(rk_len_all[:-1], out=rk_off_all[1:])
+        n_pool = int(ev_len_all.sum())
+        pool_len = _pool_bucket(n_pool)
+        ev_pool = np.zeros(pool_len, np.float32)
+        pos = 0
+        for r in todo:
+            ev_pool[pos:pos + r.n_events] = r.event_means
+            pos += r.n_events
+        rk_dtype = np.int16 if self.model.num_kmers <= 32767 else np.int32
+        rk_pool = np.zeros(_pool_bucket(int(rk_len_all.sum())), rk_dtype)
+        pos = 0
+        for k in rk_list:
+            rk_pool[pos:pos + k.shape[0]] = k
+            pos += k.shape[0]
+        ev_pool_dev = jnp.asarray(ev_pool)      # async H2D, overlaps below
+        rk_pool_dev = jnp.asarray(rk_pool)
+        if n_pool <= self.HMM_POOL_CAP:
+            self._hmm_pool = (ev_pool_dev,
+                              {id(r): int(o)
+                               for r, o in zip(todo, ev_off_all)})
+        lm, ls, ll = self._nuc_dev_tables()
+
+        # ---- length buckets (runt buckets merge into the next-larger
+        # bucket so every launch keeps >= RSTEP real reads; todo is
+        # sorted, so groups stay contiguous ranges) ----
+        by_bucket: dict[int, list[int]] = {}
+        for i, r in enumerate(todo):
+            by_bucket.setdefault(_bucket(r.n_events, minimum=2048),
+                                 []).append(i)
+        groups: list[list[int]] = []
+        pending: list[int] = []
+        for b in sorted(by_bucket):
+            pending.extend(by_bucket[b])
+            if len(pending) >= RSTEP:
+                groups.append(pending)
+                pending = []
+        if pending:
+            # tail runt: own (padded) launch — cheaper than inflating
+            # the previous group's band count to this bucket's E
+            groups.append(pending)
+
+        # ---- dispatch every bucket without waiting ----
+        launches = []
+        for g_idx in groups:
+            g = [todo[i] for i in g_idx]
+            E = _bucket(max(r.n_events for r in g), minimum=2048)
+            K = _bucket(max(rk_len_all[i] for i in g_idx), minimum=1024)
+            n_bands = E + K + 2
+            nb = ((n_bands + CHUNK - 1) // CHUNK) * CHUNK
+            meta = self._abea_group_meta(
+                g, ev_off_all[g_idx], ev_len_all[g_idx],
+                rk_off_all[g_idx], rk_len_all[g_idx], pad_to=RSTEP)
+            (ev_off, ev_len, rk_off, rk_len, scale, shift, lp_stay,
+             lp_step, lp_skip, lp_trim) = meta
+            byte_cap = (ev_len.astype(np.int64)
+                        + rk_len.astype(np.int64) + 3) // 4
+            off = np.zeros(len(byte_cap) + 1, np.int32)
+            np.cumsum(byte_cap, out=off[1:])
+            cap = _bucket(int(off[-1]), minimum=4096)
+            out = abea_align_device_ring(
+                ev_pool_dev, jnp.asarray(ev_off), jnp.asarray(ev_len),
+                rk_pool_dev, jnp.asarray(rk_off), jnp.asarray(rk_len),
+                lm, ls, ll, jnp.asarray(scale), jnp.asarray(shift),
+                jnp.asarray(lp_stay), jnp.asarray(lp_step),
+                jnp.asarray(lp_skip), jnp.asarray(lp_trim),
+                jnp.asarray(off),
+                E=E, K=K, n_bands=nb, max_pairs=E + K, cap=cap,
+                interpret=self._interpret_kernels())
+            launches.append((g, off, scale, shift, out))
+        # start every D2H as soon as its launch finishes (the sync loop
+        # below then finds most transfers already in flight or done)
+        for *_, out in launches:
+            for a in out:
+                try:
+                    a.copy_to_host_async()
+                except AttributeError:
+                    break
+        self.stage_time["align"] += time.time() - t0
+
+        # ---- sync in order; host decode overlaps later fills ----
+        for g, off, scale, shift, (flat, start_e, n) in launches:
+            t0 = time.time()
+            flat = np.asarray(flat)
+            start_e = np.asarray(start_e)
+            n = np.asarray(n)
+            self.stage_time["align"] += time.time() - t0
+            t0 = time.time()
+            for i, r in enumerate(g):
+                if start_e[i] < 0 or n[i] == 0:
+                    r.status |= FAILED_ALIGNMENT
+                    continue
+                self._postalign_qc_one(r, ranks[id(r)],
+                                       flat[off[i]:off[i + 1]],
+                                       int(n[i]), int(start_e[i]),
+                                       float(scale[i]), float(shift[i]))
+            self.stage_time["scaling"] += time.time() - t0
+
+    def _abea_group_meta(self, g: list, ev_off, ev_len, rk_off, rk_len,
+                         pad_to: int):
+        """Per-read launch metadata against the batch-wide pools; the
+        read axis is padded to a multiple of ``pad_to`` with copies of
+        the group's first (smallest) read."""
+        from ..constants import ABEA_EPSILON_SKIP, ABEA_LP_TRIM_P
+
+        scale = np.array([r.scaling.scale for r in g], np.float32)
+        shift = np.array([r.scaling.shift for r in g], np.float32)
+        epk = ev_len.astype(np.float64) / rk_len.astype(np.float64)
+        p_stay = 1.0 - 1.0 / (epk + 1.0)
+        lp_stay = np.log(p_stay).astype(np.float32)
+        lp_step = np.log(1.0 - ABEA_EPSILON_SKIP - p_stay).astype(
+            np.float32)
+        pad = _bucket(len(g), minimum=pad_to) - len(g)
+        if pad:
+            def rep(a):
+                return np.concatenate([a, np.repeat(a[:1], pad, axis=0)])
+            ev_off, ev_len, rk_off, rk_len, scale, shift, lp_stay, \
+                lp_step = map(rep, (ev_off, ev_len, rk_off, rk_len,
+                                    scale, shift, lp_stay, lp_step))
+        Bp = len(g) + pad
+        lp_skip = np.full(Bp, np.log(ABEA_EPSILON_SKIP), dtype=np.float32)
+        lp_trim = np.full(Bp, np.log(ABEA_LP_TRIM_P), dtype=np.float32)
+        return (np.ascontiguousarray(ev_off), np.ascontiguousarray(ev_len),
+                np.ascontiguousarray(rk_off), np.ascontiguousarray(rk_len),
+                scale, shift, lp_stay, lp_step, lp_skip, lp_trim)
+
+    def supports_waves(self) -> bool:
+        """The wave-pipelined schedule needs the production ring kernel
+        on one device plus the native host library."""
+        from .. import native
+
+        return (native.available() and self._use_pallas()
+                and os.environ.get("F5C_TPU_FILL", "ring") == "ring"
+                and not self._mesh_devices())
+
+    def align_batch_waved(self, batch: list[ReadRecord],
+                          keep_raw: bool = False):
+        """Load + event-detect + ABEA for one batch as a host/device
+        software pipeline.
+
+        The batch is processed in length-sorted waves of ~32 reads:
+        while the device fills wave N's bands, the host decodes wave
+        N-1's compact walk (postalign/QC/recalibration) and detects
+        events for wave N+1 — the TPU reshape of the reference's
+        3-stage pipeline + concurrent CPU/GPU split (meth_main.c:610-742,
+        f5c.cu:647-1061) collapsed to one thread, with every transfer
+        asynchronous.  Each wave's event slab is uploaded once and the
+        slabs are concatenated ON DEVICE into the HMM scorer's resident
+        pool, so event means cross the tunnel exactly once per batch.
+        """
+        import jax.numpy as jnp
+
+        from .. import native
+        from ..ops.abea_pallas import CHUNK
+        from ..ops.abea_ring import R as RSTEP
+        from ..ops.abea_ring import abea_align_device_ring
+
+        _worker_init(self._model_kind, self.opt.kmer_model_path,
+                     self.opt.rna)
+        self._hmm_pool = None
+        order = sorted(range(len(batch)), key=lambda i: len(batch[i].seq))
+        WAVE = int(os.environ.get("F5C_TPU_WAVE", "32"))
+        waves = [order[i:i + WAVE] for i in range(0, len(order), WAVE)]
+        lm, ls, ll = self._nuc_dev_tables()
+        rk_dtype = np.int16 if self.model.num_kmers <= 32767 else np.int32
+        launches: list = []
+        chunks: list = []          # device event slabs (padded lengths)
+        hmm_off: dict[int, int] = {}
+        pool_pos = 0
+        ultra_jobs: list = []
+        interpret = self._interpret_kernels()
+        sync_i = 0
+
+        def sync_one():
+            """Sync + decode the oldest outstanding launch."""
+            nonlocal sync_i
+            todo, ranks, off, scale, shift, (flat, start_e, n) = \
+                launches[sync_i]
+            launches[sync_i] = None
+            sync_i += 1
+            t0 = time.time()
+            flat = np.asarray(flat)
+            start_e = np.asarray(start_e)
+            n = np.asarray(n)
+            self.stage_time["align"] += time.time() - t0
+            t0 = time.time()
+            for i, r in enumerate(todo):
+                if start_e[i] < 0 or n[i] == 0:
+                    r.status |= FAILED_ALIGNMENT
+                    continue
+                self._postalign_qc_one(r, ranks[id(r)],
+                                       flat[off[i]:off[i + 1]],
+                                       int(n[i]), int(start_e[i]),
+                                       float(scale[i]), float(shift[i]))
+            self.stage_time["scaling"] += time.time() - t0
+
+        for w in waves:
+            # ---- host: signal fetch + event detection + MoM ----
+            t0 = time.time()
+            todo = []
+            for i in w:
+                r = batch[i]
+                qname, data = _worker_load(
+                    (r.qname, r.signal_path, r.seq, keep_raw))
+                if not self._populate_read(r, data):
+                    continue
+                if r.n_events / len(r.seq) >= AVG_EVENTS_PER_KMER_MAX:
+                    r.status |= FAILED_ALIGNMENT
+                    continue
+                todo.append(r)
+            self.stage_time["events"] += time.time() - t0
+
+            t0 = time.time()
+            if native.available():
+                ranks = {id(r): native.kmer_ranks(r.seq, self.model.k)
+                         for r in todo}
+            else:
+                ranks = {id(r): self.model.kmer_ranks(r.seq).astype(
+                    np.int32) for r in todo}
+            todo2 = []
+            for r in todo:
+                nk = len(r.seq) - self.model.k + 1
+                nb_r = r.n_events + nk + 2
+                if (nb_r * 8 * 512 > self.TRACE_BYTES_BUDGET
+                        or r.n_events > (1 << 17) or nk > (1 << 16)):
+                    ultra_jobs.append((r, ranks[id(r)]))
+                else:
+                    todo2.append(r)
+            todo = todo2
+            if not todo:
+                self.stage_time["align"] += time.time() - t0
+                continue
+
+            # ---- async H2D: this wave's event + rank slabs ----
+            ev_len = np.array([r.n_events for r in todo], np.int32)
+            rk_list = [ranks[id(r)] for r in todo]
+            rk_len = np.array([k.shape[0] for k in rk_list], np.int32)
+            ev_off = np.zeros(len(todo), np.int32)
+            np.cumsum(ev_len[:-1], out=ev_off[1:])
+            rk_off = np.zeros(len(todo), np.int32)
+            np.cumsum(rk_len[:-1], out=rk_off[1:])
+            # 32k-granular slab lengths keep launch-shape variants low
+            # while the padded sum stays under the HMM pool's VMEM cap
+            n_ev_wave = int(ev_len.sum())
+            slab = np.zeros(((n_ev_wave + (1 << 15) - 1) >> 15) << 15,
+                            np.float32)
+            pos = 0
+            for r in todo:
+                slab[pos:pos + r.n_events] = r.event_means
+                pos += r.n_events
+            rk_slab = np.zeros(_bucket(int(rk_len.sum()),
+                                       minimum=1 << 14), rk_dtype)
+            pos = 0
+            for k in rk_list:
+                rk_slab[pos:pos + k.shape[0]] = k
+                pos += k.shape[0]
+            slab_dev = jnp.asarray(slab)
+            rk_slab_dev = jnp.asarray(rk_slab)
+            for r, o in zip(todo, ev_off):
+                hmm_off[id(r)] = pool_pos + int(o)
+            chunks.append(slab_dev)
+            pool_pos += slab.shape[0]
+
+            # ---- dispatch this wave's fill+walk (no waiting) ----
+            E = _bucket(max(r.n_events for r in todo), minimum=2048)
+            K = _bucket(int(rk_len.max()), minimum=1024)
+            nb = ((E + K + 2 + CHUNK - 1) // CHUNK) * CHUNK
+            meta = self._abea_group_meta(todo, ev_off, ev_len, rk_off,
+                                         rk_len, pad_to=RSTEP)
+            (ev_off_p, ev_len_p, rk_off_p, rk_len_p, scale, shift,
+             lp_stay, lp_step, lp_skip, lp_trim) = meta
+            byte_cap = (ev_len_p.astype(np.int64)
+                        + rk_len_p.astype(np.int64) + 3) // 4
+            off = np.zeros(len(byte_cap) + 1, np.int32)
+            np.cumsum(byte_cap, out=off[1:])
+            cap = _bucket(int(off[-1]), minimum=4096)
+            out = abea_align_device_ring(
+                slab_dev, jnp.asarray(ev_off_p), jnp.asarray(ev_len_p),
+                rk_slab_dev, jnp.asarray(rk_off_p),
+                jnp.asarray(rk_len_p), lm, ls, ll,
+                jnp.asarray(scale), jnp.asarray(shift),
+                jnp.asarray(lp_stay), jnp.asarray(lp_step),
+                jnp.asarray(lp_skip), jnp.asarray(lp_trim),
+                jnp.asarray(off),
+                E=E, K=K, n_bands=nb, max_pairs=E + K, cap=cap,
+                interpret=interpret)
+            for a in out:
+                try:
+                    a.copy_to_host_async()
+                except AttributeError:
+                    break
+            launches.append((todo, ranks, off, scale, shift, out))
+            self.stage_time["align"] += time.time() - t0
+
+            # keep at most 2 launches in flight: decoding the oldest here
+            # overlaps the device filling the newest
+            if len(launches) - sync_i > 2:
+                sync_one()
+
+        while sync_i < len(launches):
+            sync_one()
+        for r, rk in ultra_jobs:
+            self._align_ultra_one(r, rk)
+
+        # ---- assemble the HMM scorer's device-resident event pool from
+        # the uploaded slabs (no second transfer) ----
+        if chunks and pool_pos <= self.HMM_POOL_CAP:
+            t0 = time.time()
+            pool_len = _pool_bucket(pool_pos)
+            self._hmm_pool = (_concat_pool(tuple(chunks), pool_len),
+                              hmm_off)
+            self.stage_time["align"] += time.time() - t0
 
     def _align_subbatch(self, todo: list[ReadRecord], ranks: list):
         """One padded device ABEA launch + native postalign.
@@ -999,7 +1357,7 @@ class Pipeline:
             return {}
         # the Pallas scorer keeps the whole event pool VMEM-resident;
         # split oversized batches so 2*pool + padding fits on-core
-        POOL_CAP = 1_300_000
+        POOL_CAP = self.HMM_POOL_CAP
         if (len(reads) > 1
                 and sum(r.event_means.shape[0] for r in reads) > POOL_CAP):
             out_all: dict[int, dict] = {}
@@ -1053,11 +1411,6 @@ class Pipeline:
         ref_off = np.zeros(len(reads), np.int64)
         np.cumsum([len(d) for d in ref_disamb][:-1], out=ref_off[1:])
         ref_concat = b"".join(ref_disamb)
-        ev_lens = [r.event_means.shape[0] for r in reads]
-        ev_off = np.zeros(len(reads), np.int64)
-        np.cumsum(ev_lens[:-1], out=ev_off[1:])
-        ev_concat = np.ascontiguousarray(
-            np.concatenate([r.event_means for r in reads]), dtype=np.float32)
         read_rc = np.array([1 if r.is_reverse else 0 for r in reads],
                            np.uint8)
         read_scale = np.array([r.scaling.scale for r in reads], np.float32)
@@ -1065,18 +1418,26 @@ class Pipeline:
         read_var = np.array([r.scaling.var for r in reads], np.float32)
         read_epb = np.array([r.events_per_base for r in reads], np.float32)
 
-        # flat event pool goes to the device once per batch (length
-        # bucketed so the Pallas scorer's pool-resident shape recompiles
-        # a bounded number of times; 256k granularity near the VMEM cap
-        # so bucketing never overshoots it)
-        n_pool = ev_concat.shape[0]
-        if n_pool > (1 << 20):
-            n_pool = ((n_pool + (1 << 18) - 1) >> 18) << 18
+        # the event pool: reuse the align stage's device-resident upload
+        # when it covers this batch (one transfer over the tunnel per
+        # batch); otherwise build + upload here (length-bucketed so the
+        # pool-resident Pallas shape recompiles a bounded number of
+        # times)
+        pool = getattr(self, "_hmm_pool", None)
+        if pool is not None and all(id(r) in pool[1] for r in reads):
+            ev_pool = pool[0]
+            ev_off = np.array([pool[1][id(r)] for r in reads], np.int64)
         else:
-            n_pool = _bucket(n_pool, minimum=1 << 16)
-        pool_pad = np.zeros(n_pool, np.float32)
-        pool_pad[:ev_concat.shape[0]] = ev_concat
-        ev_pool = jnp.asarray(pool_pad)
+            ev_lens = [r.event_means.shape[0] for r in reads]
+            ev_off = np.zeros(len(reads), np.int64)
+            np.cumsum(ev_lens[:-1], out=ev_off[1:])
+            ev_concat = np.ascontiguousarray(
+                np.concatenate([r.event_means for r in reads]),
+                dtype=np.float32)
+            pool_pad = np.zeros(_pool_bucket(ev_concat.shape[0]),
+                                np.float32)
+            pool_pad[:ev_concat.shape[0]] = ev_concat
+            ev_pool = jnp.asarray(pool_pad)
         lm_dev, ls_dev, ll_dev = self._cpg_dev_tables()
 
         sizes = np.abs(it_e2 - it_e1) + 1
@@ -1097,6 +1458,11 @@ class Pipeline:
 
         from ..ops.hmm_pallas import hmm_forward_pallas
 
+        if os.environ.get("F5C_TPU_HMM_TIMERS"):
+            self._hmm_t = getattr(self, "_hmm_t", {})
+            self._hmm_t["assemble"] = self._hmm_t.get("assemble", 0.0) + (
+                time.time() - t0)
+            _t_disp = time.time()
         scores = np.zeros(n_items, dtype=np.float32)
         pending = []   # dispatch everything async, sync once at the end
         order = np.argsort(sizes, kind="stable")
@@ -1193,8 +1559,15 @@ class Pipeline:
                 jnp.asarray(_pad1(it_lp_step)),
                 lm_dev, ls_dev, ll_dev, pad_events=pad_e)
             pending.append((idxs, n_sub, s))
+        if os.environ.get("F5C_TPU_HMM_TIMERS"):
+            self._hmm_t["dispatch"] = self._hmm_t.get("dispatch", 0.0) + (
+                time.time() - _t_disp)
+            _t_sync = time.time()
         for idxs, n_sub, s in pending:
             scores[idxs] = np.asarray(s).reshape(-1)[:n_sub]
+        if os.environ.get("F5C_TPU_HMM_TIMERS"):
+            self._hmm_t["sync"] = self._hmm_t.get("sync", 0.0) + (
+                time.time() - _t_sync)
         self.stage_time["hmm"] += time.time() - t0
 
         # aggregate into ScoredSites (kept per read in batch order)
@@ -1326,40 +1699,47 @@ class Pipeline:
                       "log_lik_ratio\tlog_lik_methylated\t"
                       "log_lik_unmethylated\tnum_calling_strands\t"
                       "num_motifs\tsequence\n")
-        for batch in self.batches_prefetched():
-            self.align_batch(batch)
-            sites_by_read = self.meth_batch(batch)
-            if (opt.print_events or opt.print_banded_aln
-                    or opt.print_scaling):
-                self.debug_prints(batch, out)
-            t0 = time.time()
-            for r in batch:
-                if r.status:
-                    self._count_failure(r)
-                    continue
-                self.counters["processed"] += 1
-                site_map = sites_by_read.get(id(r), {})
-                contig = self.bam.references[r.tid]
-                for start in sorted(site_map):
-                    ss = site_map[start]
-                    # window clip (f5c.c:1046-1047)
-                    if ((self.clip_start != -1
-                         and ss.start_position < self.clip_start)
-                            or (self.clip_end != -1
-                                and ss.end_position >= self.clip_end)):
+        from .writer import AsyncWriter
+
+        # rows render + write on the post-processor thread
+        # (meth_main.c:610-742's output thread), overlapping the next
+        # batch's compute
+        writer = AsyncWriter(out)
+        use_waves = self.supports_waves()
+        batches = (self.batches(load=False) if use_waves
+                   else self.batches_prefetched())
+        try:
+            for batch in batches:
+                if use_waves:
+                    self.align_batch_waved(batch)
+                else:
+                    self.align_batch(batch)
+                sites_by_read = self.meth_batch(batch)
+                if (opt.print_events or opt.print_banded_aln
+                        or opt.print_scaling):
+                    import io as _io
+
+                    dbg = _io.StringIO()
+                    self.debug_prints(batch, dbg)
+                    writer.write(dbg.getvalue())
+                t0 = time.time()
+                for r in batch:
+                    if r.status:
+                        self._count_failure(r)
                         continue
-                    if opt.meth_out_version == 1:
-                        out.write(f"{contig}\t{ss.start_position}\t"
-                                  f"{ss.end_position}\t")
-                    else:
-                        strand = "-" if r.is_reverse else "+"
-                        out.write(f"{contig}\t{strand}\t{ss.start_position}"
-                                  f"\t{ss.end_position}\t")
-                    out.write(f"{r.qname}\t{ss.llr:.2f}\t"
-                              f"{ss.ll_methylated:.2f}\t"
-                              f"{ss.ll_unmethylated:.2f}\t"
-                              f"{ss.strands_scored}\t{ss.n_cpg}\t"
-                              f"{ss.sequence}\n")
+                    self.counters["processed"] += 1
+                    site_map = sites_by_read.get(id(r), {})
+                    if not site_map:
+                        continue
+                    contig = self.bam.references[r.tid]
+                    writer.write_lazy(functools.partial(
+                        _render_meth_rows, contig, r.qname, r.is_reverse,
+                        site_map, opt.meth_out_version,
+                        self.clip_start, self.clip_end))
+                self.stage_time["output"] += time.time() - t0
+        finally:
+            t0 = time.time()
+            writer.close()
             self.stage_time["output"] += time.time() - t0
 
     def _count_failure(self, r: ReadRecord):
@@ -1414,6 +1794,31 @@ class Pipeline:
                     "failed. Check --pore / --rna against the dataset "
                     "chemistry (meth_main.c:821-837).\n")
         return 0
+
+
+def _render_meth_rows(contig: str, qname: str, is_reverse: bool,
+                      site_map: dict, out_version: int,
+                      clip_start: int, clip_end: int) -> str:
+    """One read's methylation TSV rows (f5c.c:1030-1062 format)."""
+    parts = []
+    for start in sorted(site_map):
+        ss = site_map[start]
+        # window clip (f5c.c:1046-1047)
+        if ((clip_start != -1 and ss.start_position < clip_start)
+                or (clip_end != -1 and ss.end_position >= clip_end)):
+            continue
+        if out_version == 1:
+            head = f"{contig}\t{ss.start_position}\t{ss.end_position}\t"
+        else:
+            strand = "-" if is_reverse else "+"
+            head = (f"{contig}\t{strand}\t{ss.start_position}"
+                    f"\t{ss.end_position}\t")
+        parts.append(f"{head}{qname}\t{ss.llr:.2f}\t"
+                     f"{ss.ll_methylated:.2f}\t"
+                     f"{ss.ll_unmethylated:.2f}\t"
+                     f"{ss.strands_scored}\t{ss.n_cpg}\t"
+                     f"{ss.sequence}\n")
+    return "".join(parts)
 
 
 def parse_regions(region_str: str):
@@ -1475,6 +1880,37 @@ def _bucket(n: int, minimum: int = 256) -> int:
     while b < n:
         b *= 2
     return b
+
+
+_JIT_CACHE: dict = {}
+
+
+def _concat_pool(chunks: tuple, pool_len: int):
+    """Device-side concatenation of the wave event slabs into the
+    (padded) HMM pool — no host round trip."""
+    import jax
+    import jax.numpy as jnp
+
+    fn = _JIT_CACHE.get("concat_pool")
+    if fn is None:
+        @functools.partial(jax.jit, static_argnames=("pool_len",))
+        def fn(chunks, pool_len: int):
+            total = sum(c.shape[0] for c in chunks)
+            parts = list(chunks)
+            if pool_len > total:
+                parts.append(jnp.zeros(pool_len - total, jnp.float32))
+            return jnp.concatenate(parts)
+        _JIT_CACHE["concat_pool"] = fn
+    return fn(chunks, pool_len=pool_len)
+
+
+def _pool_bucket(n: int) -> int:
+    """Event-pool length bucket: powers of two up to 1M, then 256k
+    granularity (so bucketing never overshoots the Pallas HMM scorer's
+    VMEM cap)."""
+    if n > (1 << 20):
+        return ((n + (1 << 18) - 1) >> 18) << 18
+    return _bucket(n, minimum=1 << 16)
 
 
 def _ebucket(n: int) -> int:

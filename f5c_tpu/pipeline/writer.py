@@ -31,13 +31,15 @@ class AsyncWriter:
             if chunk is self._SENTINEL:
                 return
             try:
+                if callable(chunk):
+                    chunk = chunk()
                 if isinstance(chunk, bytes):
                     if self._buffer is not None:
                         self._out.flush()
                         self._buffer.write(chunk)
                     else:
                         self._out.write(chunk.decode("latin1"))
-                else:
+                elif chunk:
                     self._out.write(chunk)
             except Exception as e:      # surfaced by close()
                 self._exc = e
@@ -47,6 +49,13 @@ class AsyncWriter:
             raise self._exc
         if chunk:
             self._q.put(chunk)
+
+    def write_lazy(self, render):
+        """Queue a zero-arg callable; it renders IN the writer thread,
+        so row formatting itself overlaps the next batch's compute."""
+        if self._exc is not None:
+            raise self._exc
+        self._q.put(render)
 
     def close(self):
         self._q.put(self._SENTINEL)
