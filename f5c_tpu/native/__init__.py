@@ -48,7 +48,8 @@ def _build() -> str:
     # -ffp-contract=off: no FMA contraction — results must be bit-identical
     # to the NumPy oracles (strict IEEE f32/f64 op-for-op)
     cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC",
-           "-march=native", "-ffp-contract=off", _SRC, "-o", tmp]
+           "-march=native", "-ffp-contract=off", "-fno-math-errno",
+           _SRC, "-o", tmp]
     subprocess.run(cmd, check=True, capture_output=True)
     os.replace(tmp, _LIB_PATH)
     return _LIB_PATH

@@ -35,13 +35,21 @@ struct DetectorParams {
 
 static void compute_tstat(const double* sums, const double* sumsqs,
                           int64_t n, int w, float* tstat) {
-  for (int64_t i = 0; i < n; i++) tstat[i] = 0.0f;
-  if (n < 2 * (int64_t)w || w < 2) return;
+  if (n < 2 * (int64_t)w || w < 2) {
+    for (int64_t i = 0; i < n; i++) tstat[i] = 0.0f;
+    return;
+  }
+  // only the edges stay zero; [w, n-w) is written below
+  for (int64_t i = 0; i < w; i++) tstat[i] = 0.0f;
+  for (int64_t i = n - w; i < n; i++) tstat[i] = 0.0f;
   const float wf = (float)w;
-  // valid region [w, n-w); i == n-w is computed by the oracle then zeroed
+  // valid region [w, n-w); i == n-w is computed by the oracle then
+  // zeroed.  sums[0] == 0, so the i == w edge needs no branch — the
+  // loop body is pure element-wise IEEE arithmetic and auto-vectorises
+  // (every op is value-preserving: no reassociation, fp-contract off).
   for (int64_t i = w; i < n - w; i++) {
-    double sum1 = sums[i] - (i > w ? sums[i - w] : 0.0);
-    double sumsq1 = sumsqs[i] - (i > w ? sumsqs[i - w] : 0.0);
+    double sum1 = sums[i] - sums[i - w];
+    double sumsq1 = sumsqs[i] - sumsqs[i - w];
     float sum2 = (float)(sums[i + w] - sums[i]);
     float sumsq2 = (float)(sumsqs[i + w] - sumsqs[i]);
     float mean1 = (float)(sum1 / (double)wf);
@@ -49,7 +57,7 @@ static void compute_tstat(const double* sums, const double* sumsqs,
     double cv = sumsq1 / (double)wf - (double)(mean1 * mean1) +
                 (double)(sumsq2 / wf) - (double)(mean2 * mean2);
     float combined_var = (float)cv;
-    if (combined_var < FLT_MIN) combined_var = FLT_MIN;
+    combined_var = combined_var < FLT_MIN ? FLT_MIN : combined_var;
     float delta_mean = mean2 - mean1;
     float sq = sqrtf(combined_var / wf);
     double t = fabs((double)delta_mean) / (double)sq;
@@ -58,50 +66,126 @@ static void compute_tstat(const double* sums, const double* sumsqs,
 }
 
 // Two coupled peak detectors over the t-stat tracks (events.c:380-452).
+//
+// The coupling is one-directional: the short-window detector resets and
+// masks the long one, never the reverse.  So the interleaved per-sample
+// loop of the reference is split into two single-detector passes with a
+// recorded reset/mask timeline — exactly equivalent (each short-detector
+// trigger resets the long detector's state, so only the LAST trigger
+// sample of a contiguous trigger run determines the state the long
+// detector resumes with), and ~2x faster: each pass is a tight
+// 4-branch scan instead of an 8-branch two-detector interleave.
 static int64_t peak_detector(const float* t1, const float* t2, int64_t n,
                              const DetectorParams& p, int64_t* peaks) {
-  const float* sig[2] = {t1, t2};
-  const float thresh[2] = {p.thresh1, p.thresh2};
-  const int wlen[2] = {p.win1, p.win2};
-  int64_t masked_to[2] = {0, 0};
-  int64_t peak_pos[2] = {-1, -1};
-  float peak_value[2] = {FLT_MAX, FLT_MAX};
-  bool valid_peak[2] = {false, false};
-  int64_t np_ = 0;
-  for (int64_t i = 0; i < n; i++) {
-    for (int k = 0; k < 2; k++) {
-      if (masked_to[k] >= i) continue;
-      float current_value = sig[k][i];
-      if (peak_pos[k] == -1) {
-        if (current_value < peak_value[k]) {
-          peak_value[k] = current_value;
-        } else if (current_value - peak_value[k] > p.peak_height) {
-          peak_value[k] = current_value;
-          peak_pos[k] = i;
+  struct Emit { int64_t i, pos; };
+  struct Run {
+    int64_t start, end, masked_to;
+    float last_unmasked;
+    bool has_unmasked;
+  };
+  static thread_local std::vector<Emit> e0, e1;
+  static thread_local std::vector<Run> runs;
+  e0.clear();
+  e1.clear();
+  runs.clear();
+  {
+    // pass 0: short-window detector (index 0); i == 0 is masked by the
+    // initial masked_to == 0
+    int64_t peak_pos = -1;
+    float peak_value = FLT_MAX;
+    bool valid = false;
+    bool in_run = false;
+    for (int64_t i = 1; i < n; i++) {
+      float v = t1[i];
+      if (peak_pos == -1) {
+        if (v < peak_value) peak_value = v;
+        else if (v - peak_value > p.peak_height) {
+          peak_value = v;
+          peak_pos = i;
         }
       } else {
-        if (current_value > peak_value[k]) {
-          peak_value[k] = current_value;
-          peak_pos[k] = i;
+        if (v > peak_value) {
+          peak_value = v;
+          peak_pos = i;
         }
-        if (k == 0 && peak_value[0] > thresh[0]) {
-          masked_to[1] = peak_pos[0] + wlen[0];
-          peak_pos[1] = -1;
-          peak_value[1] = FLT_MAX;
-          valid_peak[1] = false;
+        if (peak_value > p.thresh1) {   // trigger: resets + masks det 1
+          int64_t mt = peak_pos + p.win1;
+          if (!in_run) {
+            runs.push_back({i, i, mt, 0.f, false});
+            in_run = true;
+          }
+          Run& R = runs.back();
+          R.end = i;
+          R.masked_to = mt;
+          if (mt < i) {
+            R.last_unmasked = t2[i];
+            R.has_unmasked = true;
+          } else {
+            R.has_unmasked = false;
+          }
         }
-        if (peak_value[k] - current_value > p.peak_height &&
-            peak_value[k] > thresh[k]) {
-          valid_peak[k] = true;
-        }
-        if (valid_peak[k] && i - peak_pos[k] > wlen[k] / 2) {
-          peaks[np_++] = peak_pos[k];
-          peak_pos[k] = -1;
-          peak_value[k] = current_value;
-          valid_peak[k] = false;
+        if (peak_value - v > p.peak_height && peak_value > p.thresh1)
+          valid = true;
+        if (valid && i - peak_pos > p.win1 / 2) {
+          e0.push_back({i, peak_pos});
+          peak_pos = -1;
+          peak_value = v;
+          valid = false;
+          in_run = false;
         }
       }
     }
+  }
+  {
+    // pass 1: long-window detector, replaying the reset/mask timeline
+    int64_t peak_pos = -1;
+    float peak_value = FLT_MAX;
+    bool valid = false;
+    int64_t masked_to = 0;
+    size_t ri = 0;
+    for (int64_t i = 1; i < n; i++) {
+      if (ri < runs.size() && i == runs[ri].start) {
+        peak_pos = -1;
+        valid = false;
+        peak_value = runs[ri].has_unmasked ? runs[ri].last_unmasked
+                                           : FLT_MAX;
+        masked_to = runs[ri].masked_to;
+        i = runs[ri].end;     // the whole trigger run is summarised
+        ri++;
+        continue;
+      }
+      if (masked_to >= i) continue;
+      float v = t2[i];
+      if (peak_pos == -1) {
+        if (v < peak_value) peak_value = v;
+        else if (v - peak_value > p.peak_height) {
+          peak_value = v;
+          peak_pos = i;
+        }
+      } else {
+        if (v > peak_value) {
+          peak_value = v;
+          peak_pos = i;
+        }
+        if (peak_value - v > p.peak_height && peak_value > p.thresh2)
+          valid = true;
+        if (valid && i - peak_pos > p.win2 / 2) {
+          e1.push_back({i, peak_pos});
+          peak_pos = -1;
+          peak_value = v;
+          valid = false;
+        }
+      }
+    }
+  }
+  // merge emissions by sample index (short detector first on ties, as
+  // in the reference's k-ordered inner loop)
+  size_t a = 0, b = 0;
+  int64_t np_ = 0;
+  while (a < e0.size() || b < e1.size()) {
+    bool takeA = b >= e1.size()
+                 || (a < e0.size() && e0[a].i <= e1[b].i);
+    peaks[np_++] = takeA ? e0[a++].pos : e1[b++].pos;
   }
   return np_;
 }
@@ -117,8 +201,20 @@ int64_t f5c_detect_events(const float* sig, int64_t n, int rna,
   } else {
     p = {3, 6, 1.4f, 9.0f, 0.2f};
   }
-  // exclusive prefix sums, f64 accumulators, f32 squares (events.c:302-312)
-  std::vector<double> sums(n + 1), sumsqs(n + 1);
+  // exclusive prefix sums, f64 accumulators, f32 squares (events.c:302-312).
+  // Scratch buffers are thread-local and grow-only: the per-call
+  // allocation + page-fault cost (~45 MB of fresh pages per batch)
+  // dominated the arithmetic otherwise.
+  static thread_local std::vector<double> sums, sumsqs;
+  static thread_local std::vector<float> t1, t2;
+  static thread_local std::vector<int64_t> peaks;
+  if ((int64_t)sums.size() < n + 1) {
+    sums.resize(n + 1);
+    sumsqs.resize(n + 1);
+    t1.resize(n);
+    t2.resize(n);
+    peaks.resize(n + 2);
+  }
   sums[0] = 0.0;
   sumsqs[0] = 0.0;
   for (int64_t i = 0; i < n; i++) {
@@ -126,10 +222,8 @@ int64_t f5c_detect_events(const float* sig, int64_t n, int rna,
     sums[i + 1] = sums[i] + (double)v;
     sumsqs[i + 1] = sumsqs[i] + (double)(v * v);
   }
-  std::vector<float> t1(n), t2(n);
   compute_tstat(sums.data(), sumsqs.data(), n, p.win1, t1.data());
   compute_tstat(sums.data(), sumsqs.data(), n, p.win2, t2.data());
-  std::vector<int64_t> peaks(n + 2);
   int64_t np_ = peak_detector(t1.data(), t2.data(), n, p, peaks.data());
   // events between consecutive valid peaks (events.c:466-513)
   std::vector<int64_t> bounds;
