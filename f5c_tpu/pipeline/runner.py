@@ -747,7 +747,8 @@ class Pipeline:
                 and not self._mesh_devices())
 
     def align_batch_waved(self, batch: list[ReadRecord],
-                          keep_raw: bool = False):
+                          keep_raw: bool = False,
+                          meth_inline: bool = False):
         """Load + event-detect + ABEA for one batch as a host/device
         software pipeline.
 
@@ -784,11 +785,17 @@ class Pipeline:
         interpret = self._interpret_kernels()
         sync_i = 0
 
+        self._meth_states = [] if meth_inline else None
+        self._meth_covered = set()
+
         def sync_one():
-            """Sync + decode the oldest outstanding launch."""
+            """Sync + decode the oldest outstanding launch, then (for
+            call-methylation) dispatch this wave's HMM scoring against
+            the wave's own device slab — the scorer runs while later
+            waves load and fill."""
             nonlocal sync_i
-            todo, ranks, off, scale, shift, (flat, start_e, n) = \
-                launches[sync_i]
+            (todo, ranks, off, scale, shift, slab_dev, slab_off,
+             (flat, start_e, n)) = launches[sync_i]
             launches[sync_i] = None
             sync_i += 1
             t0 = time.time()
@@ -806,6 +813,19 @@ class Pipeline:
                                        int(n[i]), int(start_e[i]),
                                        float(scale[i]), float(shift[i]))
             self.stage_time["scaling"] += time.time() - t0
+            if (meth_inline
+                    and slab_dev.shape[0] <= self.HMM_POOL_CAP):
+                t0 = time.time()
+                ok = [r for r in todo
+                      if not r.status and r.b2e_start is not None]
+                if ok:
+                    st = self._meth_prepare_dispatch(
+                        ok, slab_dev,
+                        np.array([slab_off[id(r)] for r in ok], np.int64))
+                    if st is not None:
+                        self._meth_states.append(st)
+                    self._meth_covered.update(id(r) for r in ok)
+                self.stage_time["hmm"] += time.time() - t0
 
         for w in waves:
             # ---- host: signal fetch + event detection + MoM ----
@@ -902,7 +922,9 @@ class Pipeline:
                     a.copy_to_host_async()
                 except AttributeError:
                     break
-            launches.append((todo, ranks, off, scale, shift, out))
+            launches.append((todo, ranks, off, scale, shift, slab_dev,
+                             {id(r): int(o)
+                              for r, o in zip(todo, ev_off)}, out))
             self.stage_time["align"] += time.time() - t0
 
             # keep at most 2 launches in flight: decoding the oldest here
@@ -1275,6 +1297,20 @@ class Pipeline:
         {read -> {start_pos -> ScoredSite}} keeping batch order."""
         from .. import native
 
+        states = getattr(self, "_meth_states", None)
+        if states is not None:
+            # the wave pipeline already collected + dispatched scoring
+            # per wave; finish the in-flight transfers and pick up any
+            # reads it could not cover (ultra-long, oversized slabs)
+            covered = self._meth_covered
+            self._meth_states = None
+            sites = self._meth_finish(states)
+            leftovers = [r for r in batch
+                         if not r.status and r.b2e_start is not None
+                         and id(r) not in covered]
+            if leftovers:
+                sites.update(self._meth_batch_native(leftovers))
+            return sites
         if native.available():
             return self._meth_batch_native(batch)
         from ..ops.hmm import hmm_forward_batch, make_hmm_batch
@@ -1373,6 +1409,44 @@ class Pipeline:
             if chunk:
                 out_all.update(self._meth_batch_native(chunk))
             return out_all
+        # event pool: reuse the align stage's device-resident upload
+        # when it covers this batch (one transfer over the tunnel per
+        # batch); otherwise build + upload here
+        import jax.numpy as jnp
+
+        pool = getattr(self, "_hmm_pool", None)
+        if pool is not None and all(id(r) in pool[1] for r in reads):
+            ev_pool = pool[0]
+            ev_off = np.array([pool[1][id(r)] for r in reads], np.int64)
+        else:
+            ev_lens = [r.event_means.shape[0] for r in reads]
+            ev_off = np.zeros(len(reads), np.int64)
+            np.cumsum(ev_lens[:-1], out=ev_off[1:])
+            ev_concat = np.ascontiguousarray(
+                np.concatenate([r.event_means for r in reads]),
+                dtype=np.float32)
+            pool_pad = np.zeros(_pool_bucket(ev_concat.shape[0]),
+                                np.float32)
+            pool_pad[:ev_concat.shape[0]] = ev_concat
+            ev_pool = jnp.asarray(pool_pad)
+        state = self._meth_prepare_dispatch(reads, ev_pool, ev_off)
+        self.stage_time["hmm"] += time.time() - t0
+        if state is None:
+            return {}
+        return self._meth_finish([state])
+
+    def _meth_prepare_dispatch(self, reads, ev_pool, ev_off):
+        """Collect CpG groups + build window items + dispatch the device
+        HMM for ``reads`` whose event windows live in ``ev_pool`` at
+        per-read offsets ``ev_off``.  Returns opaque state for
+        _meth_finish (scores are still on device, transfers in flight),
+        or None when there is nothing to score."""
+        import jax.numpy as jnp
+
+        from .. import native
+        from ..ops.hmm import hmm_forward_packed
+
+        k = self.cpg_model.k
         ref_disamb: list[bytes] = []
         group_arrays = []
         for r in reads:
@@ -1390,8 +1464,7 @@ class Pipeline:
         n_groups_per_read = [g["start_pos"].shape[0] for g in group_arrays]
         total_g = int(sum(n_groups_per_read))
         if total_g == 0:
-            self.stage_time["hmm"] += time.time() - t0
-            return {}
+            return None
         g_read = np.repeat(np.arange(len(reads), dtype=np.int32),
                            n_groups_per_read)
         g_sub_start = np.concatenate([g["sub_start"] for g in group_arrays])
@@ -1418,26 +1491,6 @@ class Pipeline:
         read_var = np.array([r.scaling.var for r in reads], np.float32)
         read_epb = np.array([r.events_per_base for r in reads], np.float32)
 
-        # the event pool: reuse the align stage's device-resident upload
-        # when it covers this batch (one transfer over the tunnel per
-        # batch); otherwise build + upload here (length-bucketed so the
-        # pool-resident Pallas shape recompiles a bounded number of
-        # times)
-        pool = getattr(self, "_hmm_pool", None)
-        if pool is not None and all(id(r) in pool[1] for r in reads):
-            ev_pool = pool[0]
-            ev_off = np.array([pool[1][id(r)] for r in reads], np.int64)
-        else:
-            ev_lens = [r.event_means.shape[0] for r in reads]
-            ev_off = np.zeros(len(reads), np.int64)
-            np.cumsum(ev_lens[:-1], out=ev_off[1:])
-            ev_concat = np.ascontiguousarray(
-                np.concatenate([r.event_means for r in reads]),
-                dtype=np.float32)
-            pool_pad = np.zeros(_pool_bucket(ev_concat.shape[0]),
-                                np.float32)
-            pool_pad[:ev_concat.shape[0]] = ev_concat
-            ev_pool = jnp.asarray(pool_pad)
         lm_dev, ls_dev, ll_dev = self._cpg_dev_tables()
 
         sizes = np.abs(it_e2 - it_e1) + 1
@@ -1458,13 +1511,7 @@ class Pipeline:
 
         from ..ops.hmm_pallas import hmm_forward_pallas
 
-        if os.environ.get("F5C_TPU_HMM_TIMERS"):
-            self._hmm_t = getattr(self, "_hmm_t", {})
-            self._hmm_t["assemble"] = self._hmm_t.get("assemble", 0.0) + (
-                time.time() - t0)
-            _t_disp = time.time()
-        scores = np.zeros(n_items, dtype=np.float32)
-        pending = []   # dispatch everything async, sync once at the end
+        pending = []   # dispatch everything async; _meth_finish syncs
         order = np.argsort(sizes, kind="stable")
         # windows of <= 32 kmers (the vast majority) pack 4 per 128-lane
         # row; up to 128 kmers take a full row; the Pallas scorer's loop
@@ -1559,39 +1606,46 @@ class Pipeline:
                 jnp.asarray(_pad1(it_lp_step)),
                 lm_dev, ls_dev, ll_dev, pad_events=pad_e)
             pending.append((idxs, n_sub, s))
-        if os.environ.get("F5C_TPU_HMM_TIMERS"):
-            self._hmm_t["dispatch"] = self._hmm_t.get("dispatch", 0.0) + (
-                time.time() - _t_disp)
-            _t_sync = time.time()
-        for idxs, n_sub, s in pending:
-            scores[idxs] = np.asarray(s).reshape(-1)[:n_sub]
-        if os.environ.get("F5C_TPU_HMM_TIMERS"):
-            self._hmm_t["sync"] = self._hmm_t.get("sync", 0.0) + (
-                time.time() - _t_sync)
-        self.stage_time["hmm"] += time.time() - t0
+        for *_ , s in pending:
+            try:
+                s.copy_to_host_async()
+            except AttributeError:
+                pass
+        return (reads, group_arrays, ref_disamb, n_items, pending)
 
-        # aggregate into ScoredSites (kept per read in batch order)
+    def _meth_finish(self, states):
+        """Sync the dispatched HMM scores and aggregate ScoredSites
+        (kept per read in batch order)."""
+        from .methylation import ScoredSite
+
+        t0 = time.time()
+        k = self.cpg_model.k
         out_sites: dict[int, dict] = {}
-        gi = 0
-        for ri, r in enumerate(reads):
-            g = group_arrays[ri]
-            site_map = out_sites.setdefault(id(r), {})
-            dis = ref_disamb[ri]
-            for j in range(g["start_pos"].shape[0]):
-                start = int(g["start_pos"][j])
-                first = start - r.pos
-                last = int(g["end_pos"][j]) - r.pos
-                site = site_map.get(start)
-                if site is None:
-                    site = ScoredSite(
-                        start_position=start,
-                        end_position=int(g["end_pos"][j]),
-                        n_cpg=int(g["n_cpg"][j]),
-                        sequence=dis[first - k + 1 : last + k].decode())
-                    site_map[start] = site
-                site.ll_unmethylated = float(scores[2 * gi])
-                site.ll_methylated = float(scores[2 * gi + 1])
-                gi += 1
+        for reads, group_arrays, ref_disamb, n_items, pending in states:
+            scores = np.zeros(n_items, dtype=np.float32)
+            for idxs, n_sub, s in pending:
+                scores[idxs] = np.asarray(s).reshape(-1)[:n_sub]
+            gi = 0
+            for ri, r in enumerate(reads):
+                g = group_arrays[ri]
+                site_map = out_sites.setdefault(id(r), {})
+                dis = ref_disamb[ri]
+                for j in range(g["start_pos"].shape[0]):
+                    start = int(g["start_pos"][j])
+                    first = start - r.pos
+                    last = int(g["end_pos"][j]) - r.pos
+                    site = site_map.get(start)
+                    if site is None:
+                        site = ScoredSite(
+                            start_position=start,
+                            end_position=int(g["end_pos"][j]),
+                            n_cpg=int(g["n_cpg"][j]),
+                            sequence=dis[first - k + 1 : last + k].decode())
+                        site_map[start] = site
+                    site.ll_unmethylated = float(scores[2 * gi])
+                    site.ll_methylated = float(scores[2 * gi + 1])
+                    gi += 1
+        self.stage_time["hmm"] += time.time() - t0
         return out_sites
 
     def _cpg_dev_tables(self):
@@ -1711,7 +1765,7 @@ class Pipeline:
         try:
             for batch in batches:
                 if use_waves:
-                    self.align_batch_waved(batch)
+                    self.align_batch_waved(batch, meth_inline=True)
                 else:
                     self.align_batch(batch)
                 sites_by_read = self.meth_batch(batch)
