@@ -53,6 +53,18 @@ def _add_common_meth_args(p):
                    help="process only reads with read_idx %% N == I "
                         "(multi-host data parallelism; merge outputs "
                         "with cat / freq-merge)")
+    p.add_argument("--dist", action="store_true",
+                   help="multi-process mode via jax.distributed: each "
+                        "process takes its read shard, writes "
+                        "<output>.partN, and process 0 merges to the "
+                        "exact single-process output (requires -o FILE)")
+    p.add_argument("--dist-coordinator", default=None, metavar="HOST:PORT",
+                   help="coordination service address for manual --dist "
+                        "launches (auto-detected on TPU pods/SLURM)")
+    p.add_argument("--dist-rank", type=int, default=None,
+                   help="this process's rank for manual --dist launches")
+    p.add_argument("--dist-nprocs", type=int, default=None,
+                   help="total process count for manual --dist launches")
     p.add_argument("--profile-dir", default=None, metavar="DIR",
                    help="write a JAX profiler trace of the run to DIR "
                         "(view with TensorBoard/XProf)")
@@ -111,6 +123,7 @@ def _make_pipeline(args, meth_out_version=2):
     if shard:
         i, n = shard.split("/")
         opt.shard_index, opt.shard_count = int(i), int(n)
+    opt.dist_markers = getattr(args, "dist", False)
     opt.ultra_thresh = getattr(args, "ultra_thresh", 100_000)
     opt.skip_ultra = getattr(args, "skip_ultra", None)
     return Pipeline(args.bam, args.genome, args.reads, opt)
@@ -213,6 +226,26 @@ def main(argv=None):
     args = ap.parse_args(argv)
     t0 = time.time()
 
+    # --dist: join the jax.distributed coordination service BEFORE any
+    # jax/backend initialisation, retarget outputs at per-process part
+    # files, and remember what to merge at the end (SURVEY §2.7).
+    dist_rank = dist_nprocs = None
+    dist_outputs = []
+    if getattr(args, "dist", False):
+        if args.output in ("-", None):
+            ap.error("--dist requires -o FILE (per-process part files "
+                     "are merged into it)")
+        from .parallel import distributed as dist_mod
+
+        dist_rank, dist_nprocs = dist_mod.initialize(
+            args.dist_coordinator, args.dist_nprocs, args.dist_rank)
+        args.shard = f"{dist_rank}/{dist_nprocs}"
+        dist_outputs.append(args.output)
+        args.output = dist_mod.part_path(args.output, dist_rank)
+        if getattr(args, "summary", None):
+            dist_outputs.append(args.summary)
+            args.summary = dist_mod.part_path(args.summary, dist_rank)
+
     if args.cmd == "index":
         from .io.readdb import ReadDB
 
@@ -233,6 +266,11 @@ def main(argv=None):
         out = _out_fh(args.output)
         with _maybe_profile(args):
             pipe.call_methylation(out=out)
+        if dist_rank is not None:
+            out.close()
+            from .parallel import distributed as dist_mod
+
+            dist_mod.finalize(dist_outputs, dist_rank, dist_nprocs)
         return pipe.report()
 
     if args.cmd == "eventalign":
@@ -242,6 +280,11 @@ def main(argv=None):
         out = _out_fh(args.output)
         with _maybe_profile(args):
             run_eventalign(pipe, args, out=out)
+        if dist_rank is not None:
+            out.close()
+            from .parallel import distributed as dist_mod
+
+            dist_mod.finalize(dist_outputs, dist_rank, dist_nprocs)
         return pipe.report()
 
     if args.cmd == "fast5-to-blow5":

@@ -883,13 +883,18 @@ def run_eventalign(pipe, args, out=sys.stdout):
                 continue
             contig = pipe.bam.references[r.tid]
             ref_len = pipe.bam.ref_lengths[r.tid]
+            dist = pipe.opt.dist_markers
             if summary_fp is not None and recs.ref_position.shape[0] > 0:
                 s = summarize_alignment(recs, r, r.nm)
+                if dist:
+                    summary_fp.write(f"#f5c-dist\t{r.read_idx}\n")
                 summary_fp.write(summary_line(
                     r.read_idx, r.qname, r.signal_path, rna, s,
                     r.sample_rate, r.scaling))
             if recs.ref_position.shape[0] == 0:
                 continue
+            if dist:
+                sink.write(f"#f5c-dist\t{r.read_idx}\n")
             if paf:
                 sink.write(emit_paf(recs, r, contig, ref_len,
                                     pipe.model.k, rna))

@@ -72,6 +72,10 @@ class Options:
     # deterministically by read index (SURVEY §2.7 / parallel/mesh.py)
     shard_index: int = 0
     shard_count: int = 1
+    # jax.distributed mode (parallel/distributed.py): tag each read's
+    # output rows with a "#f5c-dist\t<read_idx>" marker line so shard
+    # part-files k-way merge back into exact BAM order
+    dist_markers: bool = False
 
 
 @dataclass
@@ -431,7 +435,10 @@ class Pipeline:
 
         if os.environ.get("F5C_TPU_MESH", "1") == "0":
             return []
-        devs = jax.devices()
+        # local devices only: under jax.distributed (--dist) each process
+        # owns its read shard, so intra-process meshes must not span
+        # other processes' (non-addressable) devices
+        devs = jax.local_devices()
         return devs if len(devs) > 1 else []
 
     def _nuc_dev_tables(self):
@@ -1786,6 +1793,8 @@ class Pipeline:
                     if not site_map:
                         continue
                     contig = self.bam.references[r.tid]
+                    if opt.dist_markers:
+                        writer.write(f"#f5c-dist\t{r.read_idx}\n")
                     writer.write_lazy(functools.partial(
                         _render_meth_rows, contig, r.qname, r.is_reverse,
                         site_map, opt.meth_out_version,
