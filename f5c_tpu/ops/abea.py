@@ -14,9 +14,10 @@ Fixed-shape, batched adaptive banded event alignment:
 - **postalign / recalibrate**: vectorised segment ops over the pairs.
 
 All shapes are static: reads are padded to (E, K) bucket sizes chosen by
-the batching layer; masking handles per-read lengths.  The Pallas kernel
-in ``abea_pallas.py`` implements the same fill contract faster; this
-module is the XLA baseline and the fallback on CPU.
+the batching layer; masking handles per-read lengths.  The production
+Pallas event-ring kernel (``abea_ring.py``) implements the same DP
+faster; this module is the XLA baseline, the CPU fallback, and the
+cross-check alternate (F5C_TPU_FILL=xla, tests/test_fill_kernels.py).
 """
 
 from __future__ import annotations
@@ -42,6 +43,7 @@ NEG_INF = jnp.float32(-jnp.inf)
 LOG_INV_SQRT_2PI = jnp.float32(-0.918938)
 
 FROM_D, FROM_U, FROM_L = 0, 1, 2
+CHUNK = 256   # Pallas trace rows buffered in VMEM before the HBM DMA
 
 
 class AbeaBatch(NamedTuple):

@@ -2,7 +2,7 @@
 
 Third-generation layout.  A band cell (k, e) lives at lane ``e mod 128``
 (a cyclic ring over event index).  Why this wins over the kmer-anchored
-layout (abea_kr.py):
+layout:
 
 - every recurrence shift is a PURE cyclic roll, no edge masking: the
   ``stay`` parent (k, e-1) is lane-1 of band bi-1, the ``skip`` parent
@@ -44,8 +44,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .abea import PAD, AbeaBatch, expand_batch_device
-from .abea_pallas import BW, CHUNK, FROM_D, FROM_L, FROM_U
+from .abea import (BW, CHUNK, FROM_D, FROM_L, FROM_U, PAD, AbeaBatch,
+                   expand_batch_device)
 
 NEG_INF = np.float32(-np.inf)
 LOG_INV_SQRT_2PI = np.float32(-0.918938)

@@ -35,8 +35,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .abea import PAD
-from .abea_pallas import BW, CHUNK, FROM_L, FROM_U
+from .abea import BW, CHUNK, FROM_L, FROM_U, PAD
 from .abea_ring import GRP, INT_MIN, NEG_INF, R, _expand_fast
 
 LL_K0 = -1 - BW // 2      # -51

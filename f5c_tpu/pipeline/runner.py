@@ -607,7 +607,7 @@ class Pipeline:
         import jax
         import jax.numpy as jnp
 
-        from ..ops.abea_pallas import CHUNK
+        from ..ops.abea import CHUNK
         from ..ops.abea_ring import R as RSTEP
         from ..ops.abea_ring import abea_align_device_ring
 
@@ -772,7 +772,7 @@ class Pipeline:
         import jax.numpy as jnp
 
         from .. import native
-        from ..ops.abea_pallas import CHUNK
+        from ..ops.abea import CHUNK
         from ..ops.abea_ring import R as RSTEP
         from ..ops.abea_ring import abea_align_device_ring
 
@@ -976,7 +976,7 @@ class Pipeline:
                                                 devs, t0)
             import jax.numpy as jnp
 
-            from ..ops.abea_pallas import CHUNK
+            from ..ops.abea import CHUNK
             from ..ops.abea_ring import R as READS_PER_STEP
             from ..ops.abea_ring import abea_align_device_ring
 
@@ -1021,37 +1021,12 @@ class Pipeline:
             self.stage_time["scaling"] += time.time() - t0
             return
 
-        if self._use_pallas():
-            import jax.numpy as jnp
-
-            from ..ops.abea_pallas import CHUNK
-            from ..ops.abea_pallas8 import R as READS_PER_STEP
-
-            if kernel == "kr":
-                from ..ops.abea_kr import abea_align_device_kr as \
-                    abea_align_device
-            else:
-                from ..ops.abea_pallas8 import abea_align_device
-
-            arrays = self._abea_concat_arrays(todo, ranks,
-                                              pad_to=READS_PER_STEP)
-            lm, ls, ll = self._nuc_dev_tables()
-            nb = ((n_bands + CHUNK - 1) // CHUNK) * CHUNK
-            (ev_concat, ev_off, ev_len, rk_concat, rk_off, rk_len, scale,
-             shift, lp_stay, lp_step, lp_skip, lp_trim) = arrays
-            packed, start_e, n, sum_em, max_gap, failed = abea_align_device(
-                jnp.asarray(ev_concat), jnp.asarray(ev_off),
-                jnp.asarray(ev_len), jnp.asarray(rk_concat),
-                jnp.asarray(rk_off), jnp.asarray(rk_len), lm, ls, ll,
-                jnp.asarray(scale), jnp.asarray(shift),
-                jnp.asarray(lp_stay), jnp.asarray(lp_step),
-                jnp.asarray(lp_skip), jnp.asarray(lp_trim),
-                E=E, K=K, n_bands=nb, max_pairs=max_pairs)
-        else:
-            dbatch = self._make_abea_batch(todo, ranks, E, K)
-            fill_out = abea.abea_fill(dbatch, n_bands)
-            packed, start_e, n, sum_em, max_gap, failed = (
-                abea.abea_backtrace_packed(fill_out, dbatch, max_pairs))
+        # XLA fallback (F5C_TPU_FILL=xla or no Pallas support) — the
+        # cross-check alternate for the ring kernel (tests/test_fill_kernels)
+        dbatch = self._make_abea_batch(todo, ranks, E, K)
+        fill_out = abea.abea_fill(dbatch, n_bands)
+        packed, start_e, n, sum_em, max_gap, failed = (
+            abea.abea_backtrace_packed(fill_out, dbatch, max_pairs))
         packed = np.asarray(packed)
         start_e = np.asarray(start_e)
         n = np.asarray(n)
@@ -1105,7 +1080,7 @@ class Pipeline:
         every per-batch array gains a leading device axis."""
         import jax.numpy as jnp
 
-        from ..ops.abea_pallas import CHUNK
+        from ..ops.abea import CHUNK
         from ..parallel.mesh import data_mesh, shard_align_ring
 
         D = len(devs)

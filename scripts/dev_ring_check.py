@@ -18,7 +18,7 @@ from f5c_tpu.constants import (ABEA_MAX_GAP_THRESHOLD,
                                ABEA_MIN_AVG_LOG_EMISSION)
 from f5c_tpu.models import builtin_model
 from f5c_tpu.ops import abea, abea_ring
-from f5c_tpu.ops.abea_pallas import CHUNK
+from f5c_tpu.ops.abea import CHUNK
 from f5c_tpu.ops.abea_ref import Scalings
 
 

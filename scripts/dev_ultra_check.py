@@ -7,7 +7,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax, jax.numpy as jnp
 from f5c_tpu.models import builtin_model
 from f5c_tpu.ops import abea
-from f5c_tpu.ops.abea_pallas import CHUNK
+from f5c_tpu.ops.abea import CHUNK
 from f5c_tpu.ops.abea_ring import abea_align_device_ring
 from f5c_tpu.ops.abea_ultra import align_ultra_read
 from f5c_tpu.constants import ABEA_EPSILON_SKIP, ABEA_LP_TRIM_P

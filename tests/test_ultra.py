@@ -33,7 +33,7 @@ def _synthetic_read(nk: int, seed: int = 0):
 def _ring_reference(model, ev, kr, lps):
     import jax.numpy as jnp
 
-    from f5c_tpu.ops.abea_pallas import CHUNK
+    from f5c_tpu.ops.abea import CHUNK
     from f5c_tpu.ops.abea_ring import abea_align_device_ring
 
     def bucket(n, minimum=256):
