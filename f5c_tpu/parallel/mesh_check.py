@@ -53,6 +53,8 @@ def _mini_pipeline(tmpdir: str, n_reads: int):
 
 
 def _run_align(tmp_root: str, tag: str, mesh: bool, n_reads: int):
+    import time
+
     os.environ["F5C_TPU_INTERPRET"] = "1"
     os.environ["F5C_TPU_MESH"] = "1" if mesh else "0"
     try:
@@ -60,8 +62,10 @@ def _run_align(tmp_root: str, tag: str, mesh: bool, n_reads: int):
         os.makedirs(d, exist_ok=True)
         pipe = _mini_pipeline(d, n_reads)
         (batch,) = list(pipe.batches())
+        t0 = time.time()
         pipe.align_batch(batch)
         sites = pipe.meth_batch(batch)      # sharded HMM under the mesh
+        _run_align.last_secs = time.time() - t0
         out = {}
         for r in batch:
             scored = sites.get(id(r), {})
@@ -81,14 +85,28 @@ def _run_align(tmp_root: str, tag: str, mesh: bool, n_reads: int):
 
 
 def run_mesh_parity(n_reads: int = 10) -> int:
-    """Returns the number of reads compared; raises on any mismatch."""
+    """Returns the number of reads compared; raises on any mismatch.
+
+    Also prints align+meth wall time for the single-device and sharded
+    runs.  NOTE on the throughput numbers: off-chip the 'devices' are
+    virtual CPU devices in Pallas interpreter mode sharing ONE host
+    core, so sharded reads/s measures mesh-dispatch OVERHEAD (it cannot
+    show speedup); real scaling needs real chips.
+    """
     import jax
 
     n_dev = len(jax.devices())
     assert n_dev >= 2, f"need a multi-device mesh, have {n_dev}"
     tmp = tempfile.mkdtemp(prefix="f5c_mesh_")
     single = _run_align(tmp, "single", mesh=False, n_reads=n_reads)
+    t_single = _run_align.last_secs
     sharded = _run_align(tmp, "sharded", mesh=True, n_reads=n_reads)
+    t_sharded = _run_align.last_secs
+    print(f"[mesh_check] align+meth wall: single-device {t_single:.1f}s "
+          f"({n_reads / t_single:.2f} reads/s), {n_dev}-device mesh "
+          f"{t_sharded:.1f}s ({n_reads / t_sharded:.2f} reads/s) "
+          f"[virtual devices share one host core: overhead probe, "
+          f"not a speedup measure]")
     assert set(single) == set(sharded)
     for q in single:
         s0, p0, sc0, b0, m0 = single[q]
