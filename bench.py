@@ -101,6 +101,11 @@ def run_once(bam, genome, reads, out_path, slow5=None, tool="meth"):
 
 def main():
     tool = "eventalign" if "--tool=eventalign" in sys.argv else "meth"
+    for a in sys.argv:
+        # record either eventalign engine: --engine=native|device|python
+        # (default: auto — the dispatch-latency probe picks)
+        if a.startswith("--engine="):
+            os.environ["F5C_TPU_EA_ENGINE"] = a.split("=", 1)[1]
     shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
     # the VM disk writes at ~9 MB/s; tmpfs keeps the bench about the
     # pipeline, not the virtual disk (the reference benchmarks on hosts

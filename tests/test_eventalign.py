@@ -70,18 +70,50 @@ def small_pipeline(tmp_path_factory):
 
 
 def test_host_device_paths_agree(small_pipeline):
+    """All three engines produce identical records: the whole-read
+    native C++ loop, lockstep rounds with host chunk DPs, and lockstep
+    rounds with device Viterbi (VERDICT r2 item 3)."""
     p, ok, refs = small_pipeline
+    loop = EA.EventalignEngine(p.model)
+    loop.engine = "native"
     host = EA.EventalignEngine(p.model)
+    host.engine = "python"
     host.host_round_max = 10**9
     dev = EA.EventalignEngine(p.model)
+    dev.engine = "device"
     dev.host_round_max = 0
+    rl = loop.realign_batch(ok, refs)
     rh = host.realign_batch(ok, refs)
     rd = dev.realign_batch(ok, refs)
     for r in ok:
-        a, b = rh[id(r)], rd[id(r)]
-        np.testing.assert_array_equal(a.ref_position, b.ref_position)
-        np.testing.assert_array_equal(a.event_idx, b.event_idx)
-        np.testing.assert_array_equal(a.state, b.state)
+        for other in (rh[id(r)], rd[id(r)]):
+            a, b = rl[id(r)], other
+            np.testing.assert_array_equal(a.ref_position, b.ref_position)
+            np.testing.assert_array_equal(a.event_idx, b.event_idx)
+            np.testing.assert_array_equal(a.state, b.state)
+
+
+def test_auto_engine_probe(small_pipeline):
+    """auto mode resolves via measured probes and still yields the same
+    records; the probed crossover is a sane positive round size."""
+    p, ok, refs = small_pipeline
+    eng = EA.EventalignEngine(p.model)
+    assert eng.engine in ("auto", "native", "device", "python")
+    recs = eng.realign_batch(ok, refs)
+    assert eng.host_round_max is None or eng.host_round_max >= 0
+    lat = EA.measured_dispatch_overhead()
+    chunk = EA.measured_host_chunk_secs(p.model)
+    assert 0 < lat < 10 and 0 < chunk < 1
+    loop = EA.EventalignEngine(p.model)
+    loop.engine = "native"
+    rl = loop.realign_batch(ok, refs)
+    for r in ok:
+        np.testing.assert_array_equal(recs[id(r)].ref_position,
+                                      rl[id(r)].ref_position)
+        np.testing.assert_array_equal(recs[id(r)].event_idx,
+                                      rl[id(r)].event_idx)
+        np.testing.assert_array_equal(recs[id(r)].state,
+                                      rl[id(r)].state)
 
 
 def test_records_structure(small_pipeline):

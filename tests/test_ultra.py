@@ -95,6 +95,29 @@ def test_chunked_equals_unchunked_20kb():
                                   _unpack(ref_packed, n0))
 
 
+def test_chunked_120kb_aligns_on_device():
+    """Default-tier ultra proof (VERDICT r2 item 9): a >=100 kb read
+    aligns on-chip through the chunked window path.  The unchunked
+    kernel cannot hold it in VMEM, so the oracle is agreement across
+    two different window sizes — any chunk-boundary bug breaks it."""
+    _skip_on_cpu()
+    from f5c_tpu.ops.abea_ultra import align_ultra_read
+
+    model, ev, kr, lps = _synthetic_read(nk=120_000, seed=2)
+    packed_u, n_u, se_u = align_ultra_read(
+        ev, kr, model.level_mean, model.level_stdv, model.level_log_stdv,
+        1.0, 0.0, **lps, win_bands=1 << 15)
+    assert n_u > 0 and se_u >= 0
+    dirs = _unpack(packed_u, n_u)
+    k_steps = int(np.sum(dirs != 1))
+    assert k_steps == kr.shape[0], "alignment does not span the read"
+    packed_b, n_b, se_b = align_ultra_read(
+        ev, kr, model.level_mean, model.level_stdv, model.level_log_stdv,
+        1.0, 0.0, **lps, win_bands=1 << 14)
+    assert (n_u, se_u) == (n_b, se_b)
+    np.testing.assert_array_equal(dirs, _unpack(packed_b, n_b))
+
+
 @pytest.mark.slow
 def test_chunked_500kb_aligns_on_device():
     _skip_on_cpu()
