@@ -21,6 +21,11 @@
 #include <cstring>
 #include <vector>
 
+#if defined(__AVX512F__) && defined(__AVX512BW__)
+#include <immintrin.h>
+#define F5C_KCHAIN_AVX512 1
+#endif
+
 extern "C" {
 
 // ---------------------------------------------------------------------------
@@ -1132,18 +1137,94 @@ int64_t f5c_viterbi_chunk(
       bM[1] = frm;
     }
 
-    // KMER_SKIP chain: same row, previous block (sequential, cheap)
-    for (int64_t blk = 1; blk <= n_kmers; blk++) {
-      float s1 = lp_mk + Mc[blk - 1];
-      float s2 = lp_b3 + Bc[blk - 1];
-      float s3 = lp_kk + Kc[blk - 1];
-      float kmx = s1;
-      uint8_t kf = VHMT_PREV_M;
-      if (s2 >= kmx) { kmx = s2; kf = VHMT_PREV_B; }
-      if (s3 >= kmx) { kmx = s3; kf = VHMT_PREV_K; }
-      Kc[blk] = kmx;
-      bK[blk] = kf;
+    // KMER_SKIP chain in closed d-space form (the same max-plus
+    // reformulation the device kernel uses, ops/hmm.py:434-450):
+    //   c_blk = max(lp_mk + M_{blk-1}, lp_b3 + B_{blk-1})
+    //   d_blk = c_blk - (blk-1)*lp_kk ; K_blk = (blk-1)*lp_kk +
+    //   prefix_max(d) — prefix max is exactly associative, so the SIMD
+    //   block scan below is bit-identical to the scalar tail.  Ties:
+    //   chain (PREV_K) wins when the running max predates the column;
+    //   PREV_B beats PREV_M on equal c.
+#if F5C_KCHAIN_AVX512
+    {
+      const float g = lp_kk;
+      const __m512 ninf = _mm512_set1_ps(-INFINITY);
+      const __m512 vmk = _mm512_set1_ps(lp_mk);
+      const __m512 vb3 = _mm512_set1_ps(lp_b3);
+      const __m512 vg = _mm512_set1_ps(g);
+      const __m512i b15 = _mm512_set1_epi32(15);
+      const __m512i mfrm = _mm512_set1_epi32(VHMT_PREV_M);
+      const __m512i bfrm = _mm512_set1_epi32(VHMT_PREV_B);
+      const __m512i kfrm = _mm512_set1_epi32(VHMT_PREV_K);
+      const __m512 idx0 = _mm512_cvtepi32_ps(_mm512_setr_epi32(
+          0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15));
+      __m512 carry = ninf;
+      int64_t blk = 1;
+      for (; blk + 16 <= n_kmers + 1; blk += 16) {
+        __m512 m = _mm512_loadu_ps(Mc + blk - 1);
+        __m512 b = _mm512_loadu_ps(Bc + blk - 1);
+        __m512 c2 = _mm512_add_ps(vb3, b);
+        __m512 c = _mm512_max_ps(_mm512_add_ps(vmk, m), c2);
+        __m512 ig = _mm512_mul_ps(_mm512_add_ps(
+            idx0, _mm512_set1_ps((float)(blk - 1))), vg);
+        __m512 d = _mm512_sub_ps(c, ig);
+        __m512 x = d, t;
+        t = _mm512_castsi512_ps(_mm512_alignr_epi32(
+            _mm512_castps_si512(x), _mm512_castps_si512(ninf), 15));
+        x = _mm512_max_ps(x, t);
+        t = _mm512_castsi512_ps(_mm512_alignr_epi32(
+            _mm512_castps_si512(x), _mm512_castps_si512(ninf), 14));
+        x = _mm512_max_ps(x, t);
+        t = _mm512_castsi512_ps(_mm512_alignr_epi32(
+            _mm512_castps_si512(x), _mm512_castps_si512(ninf), 12));
+        x = _mm512_max_ps(x, t);
+        t = _mm512_castsi512_ps(_mm512_alignr_epi32(
+            _mm512_castps_si512(x), _mm512_castps_si512(ninf), 8));
+        x = _mm512_max_ps(x, t);
+        x = _mm512_max_ps(x, carry);
+        __m512 xprev = _mm512_castsi512_ps(_mm512_alignr_epi32(
+            _mm512_castps_si512(x), _mm512_castps_si512(ninf), 15));
+        xprev = _mm512_mask_mov_ps(xprev, 1, carry);
+        carry = _mm512_permutexvar_ps(b15, x);
+        _mm512_storeu_ps(Kc + blk, _mm512_add_ps(ig, x));
+        __mmask16 chain = _mm512_cmp_ps_mask(xprev, d, _CMP_GE_OQ);
+        __mmask16 fromb = _mm512_cmp_ps_mask(c2, c, _CMP_EQ_OQ);
+        __m512i f = _mm512_mask_blend_epi32(fromb, mfrm, bfrm);
+        f = _mm512_mask_blend_epi32(chain, f, kfrm);
+        _mm_storeu_si128((__m128i*)(bK + blk), _mm512_cvtepi32_epi8(f));
+      }
+      float cp = _mm512_cvtss_f32(carry);
+      for (; blk <= n_kmers; blk++) {
+        float c2 = lp_b3 + Bc[blk - 1];
+        float c1 = lp_mk + Mc[blk - 1];
+        float c = c1 > c2 ? c1 : c2;
+        float ig = (float)(blk - 1) * g;
+        float d = c - ig;
+        float mr = d > cp ? d : cp;
+        Kc[blk] = ig + mr;
+        bK[blk] = (cp >= d) ? VHMT_PREV_K
+                  : (c2 == c) ? VHMT_PREV_B : VHMT_PREV_M;
+        cp = mr;
+      }
     }
+#else
+    {
+      const float g = lp_kk;
+      float cp = -INFINITY;                 // running prefix max of d
+      for (int64_t blk = 1; blk <= n_kmers; blk++) {
+        float c2 = lp_b3 + Bc[blk - 1];
+        float c1 = lp_mk + Mc[blk - 1];
+        float c = c1 > c2 ? c1 : c2;
+        float ig = (float)(blk - 1) * g;
+        float d = c - ig;
+        float mr = d > cp ? d : cp;
+        Kc[blk] = ig + mr;
+        bK[blk] = (cp >= d) ? VHMT_PREV_K
+                  : (c2 == c) ? VHMT_PREV_B : VHMT_PREV_M;
+        cp = mr;
+      }
+    }
+#endif
   }
 
   // backtrace from (last row, MATCH of last kmer block)
