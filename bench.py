@@ -134,6 +134,12 @@ def main():
             f"({bases/wall/1e6:.2f} Mbases/s); stages: "
             + " ".join(f"{k}={v:.2f}" for k, v in pipe.stage_time.items()),
             file=sys.stderr)
+        detail = getattr(pipe, "stage_detail", None)
+        if detail:
+            print("[bench] detail: " + " ".join(
+                f"{k}={v:.0f}" if k.endswith(("_bytes", "_dispatch"))
+                else f"{k}={v:.3f}"
+                for k, v in sorted(detail.items())), file=sys.stderr)
         print(json.dumps({
             "metric": f"ecoli_2kb_region {name} throughput",
             "value": round(reads_per_s, 2),

@@ -87,6 +87,17 @@ def _declare(lib):
         _int, _f32p, _f32p, _f32, _f32, _f32, _f32,
         _int, _int, _int, _int,
         _i8p, _i64]
+    # all-void-p signature: one marshalling-cheap call per read replaces
+    # the adc_to_pa + detect_events + kmer_ranks + mom_scalings sequence
+    lib.f5c_prep_read.restype = _i64
+    lib.f5c_prep_read.argtypes = [
+        ctypes.c_void_p, _i64, _f32, _f32, _f32, _int,
+        ctypes.c_void_p, _i64, _int, ctypes.c_void_p,
+        ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.POINTER(_i64),
+        ctypes.POINTER(_f32), ctypes.POINTER(_f32)]
     lib.f5c_svb_zd_decode.restype = _i64
     lib.f5c_svb_zd_decode.argtypes = [_u8p, _i64, _i16p, _i64]
     lib.f5c_svb_zd_encode.restype = _i64
@@ -182,6 +193,47 @@ def detect_events(signal_pa: np.ndarray, rna: bool = False):
                                stdvs)
     return EventTable(start=starts[:ne].copy(), length=lengths[:ne].copy(),
                       mean=means[:ne].copy(), stdv=stdvs[:ne].copy())
+
+
+def prep_read(raw: np.ndarray, digitisation: float, offset: float,
+              range_: float, seq: str | bytes, k: int,
+              level_mean: np.ndarray, rna: bool = False,
+              keep_pa: bool = False):
+    """Whole event_single stage in one native call (f5c.c:691-745):
+    ADC->pA + detect_events + kmer_ranks + MoM.  Returns
+    (EventTable, ranks, Scalings, pa-or-None).  raw must be C-contiguous
+    int16 (the BLOW5/FAST5 on-disk sample type)."""
+    from ..ops.abea_ref import Scalings
+    from ..ops.events_ref import EventTable
+
+    lib = get_lib()
+    n = raw.shape[0]
+    if isinstance(seq, str):
+        seq = seq.encode("ascii")
+    ns = len(seq)
+    starts = np.empty(n + 1, dtype=np.int64)
+    lengths = np.empty(n + 1, dtype=np.float32)
+    means = np.empty(n + 1, dtype=np.float32)
+    stdvs = np.empty(n + 1, dtype=np.float32)
+    ranks = np.empty(max(ns - k + 1, 0), dtype=np.int32)
+    pa = np.empty(n, dtype=np.float32) if keep_pa else None
+    shift = _f32()
+    scale = _f32()
+    nk = _i64()
+    ne = lib.f5c_prep_read(
+        raw.ctypes.data, n, digitisation, offset, range_, int(rna),
+        seq, ns, k, level_mean.ctypes.data,
+        pa.ctypes.data if pa is not None else None,
+        starts.ctypes.data, lengths.ctypes.data, means.ctypes.data,
+        stdvs.ctypes.data, ranks.ctypes.data, ctypes.byref(nk),
+        ctypes.byref(shift), ctypes.byref(scale))
+    # copies: the views would pin the oversized (n+1) scratch buffers
+    # for the lifetime of the batch
+    et = EventTable(start=starts[:ne].copy(), length=lengths[:ne].copy(),
+                    mean=means[:ne].copy(), stdv=stdvs[:ne].copy())
+    sc = Scalings(shift=float(shift.value), scale=float(scale.value),
+                  var=1.0)
+    return et, ranks, sc, pa
 
 
 def adc_to_pa(raw: np.ndarray, digitisation: float, offset: float,

@@ -38,6 +38,26 @@ struct DetectorParams {
   float peak_height;
 };
 
+static inline float tstat_at(const double* sums, const double* sumsqs,
+                             int64_t i, int w, float wf) {
+  // pure element-wise IEEE arithmetic; auto-vectorises (every op is
+  // value-preserving: no reassociation, fp-contract off)
+  double sum1 = sums[i] - sums[i - w];
+  double sumsq1 = sumsqs[i] - sumsqs[i - w];
+  float sum2 = (float)(sums[i + w] - sums[i]);
+  float sumsq2 = (float)(sumsqs[i + w] - sumsqs[i]);
+  float mean1 = (float)(sum1 / (double)wf);
+  float mean2 = sum2 / wf;
+  double cv = sumsq1 / (double)wf - (double)(mean1 * mean1) +
+              (double)(sumsq2 / wf) - (double)(mean2 * mean2);
+  float combined_var = (float)cv;
+  combined_var = combined_var < FLT_MIN ? FLT_MIN : combined_var;
+  float delta_mean = mean2 - mean1;
+  float sq = sqrtf(combined_var / wf);
+  double t = fabs((double)delta_mean) / (double)sq;
+  return (float)t;
+}
+
 static void compute_tstat(const double* sums, const double* sumsqs,
                           int64_t n, int w, float* tstat) {
   if (n < 2 * (int64_t)w || w < 2) {
@@ -48,25 +68,33 @@ static void compute_tstat(const double* sums, const double* sumsqs,
   for (int64_t i = 0; i < w; i++) tstat[i] = 0.0f;
   for (int64_t i = n - w; i < n; i++) tstat[i] = 0.0f;
   const float wf = (float)w;
-  // valid region [w, n-w); i == n-w is computed by the oracle then
-  // zeroed.  sums[0] == 0, so the i == w edge needs no branch — the
-  // loop body is pure element-wise IEEE arithmetic and auto-vectorises
-  // (every op is value-preserving: no reassociation, fp-contract off).
-  for (int64_t i = w; i < n - w; i++) {
-    double sum1 = sums[i] - sums[i - w];
-    double sumsq1 = sumsqs[i] - sumsqs[i - w];
-    float sum2 = (float)(sums[i + w] - sums[i]);
-    float sumsq2 = (float)(sumsqs[i + w] - sumsqs[i]);
-    float mean1 = (float)(sum1 / (double)wf);
-    float mean2 = sum2 / wf;
-    double cv = sumsq1 / (double)wf - (double)(mean1 * mean1) +
-                (double)(sumsq2 / wf) - (double)(mean2 * mean2);
-    float combined_var = (float)cv;
-    combined_var = combined_var < FLT_MIN ? FLT_MIN : combined_var;
-    float delta_mean = mean2 - mean1;
-    float sq = sqrtf(combined_var / wf);
-    double t = fabs((double)delta_mean) / (double)sq;
-    tstat[i] = (float)t;
+  for (int64_t i = w; i < n - w; i++)
+    tstat[i] = tstat_at(sums, sumsqs, i, w, wf);
+}
+
+// Both t-stat tracks in one pass over the prefix arrays (w1 < w2): the
+// sums/sumsqs streams are read once instead of twice.  Identical
+// per-element arithmetic to compute_tstat.
+static void compute_tstat_pair(const double* sums, const double* sumsqs,
+                               int64_t n, int w1, int w2,
+                               float* t1, float* t2) {
+  if (n < 2 * (int64_t)w2 || w1 < 2) {
+    compute_tstat(sums, sumsqs, n, w1, t1);
+    compute_tstat(sums, sumsqs, n, w2, t2);
+    return;
+  }
+  const float wf1 = (float)w1, wf2 = (float)w2;
+  for (int64_t i = 0; i < w1; i++) t1[i] = 0.0f;
+  for (int64_t i = n - w1; i < n; i++) t1[i] = 0.0f;
+  for (int64_t i = 0; i < w2; i++) t2[i] = 0.0f;
+  for (int64_t i = n - w2; i < n; i++) t2[i] = 0.0f;
+  for (int64_t i = w1; i < w2; i++)
+    t1[i] = tstat_at(sums, sumsqs, i, w1, wf1);
+  for (int64_t i = n - w2; i < n - w1; i++)
+    t1[i] = tstat_at(sums, sumsqs, i, w1, wf1);
+  for (int64_t i = w2; i < n - w2; i++) {
+    t1[i] = tstat_at(sums, sumsqs, i, w1, wf1);
+    t2[i] = tstat_at(sums, sumsqs, i, w2, wf2);
   }
 }
 
@@ -95,25 +123,51 @@ static int64_t peak_detector(const float* t1, const float* t2, int64_t n,
   runs.clear();
   {
     // pass 0: short-window detector (index 0); i == 0 is masked by the
-    // initial masked_to == 0
+    // initial masked_to == 0.  The state machine is split into per-mode
+    // segmented loops (min-tracking / max-tracking / triggered) so each
+    // inner loop carries only the comparisons its mode can act on —
+    // `peak_value` is monotone non-decreasing in tracking mode, so the
+    // `> thresh1` test hoists out of the pre-trigger loop entirely.
     int64_t peak_pos = -1;
     float peak_value = FLT_MAX;
     bool valid = false;
-    bool in_run = false;
-    for (int64_t i = 1; i < n; i++) {
-      float v = t1[i];
-      if (peak_pos == -1) {
+    const float ph = p.peak_height, th1 = p.thresh1;
+    const int64_t hw = p.win1 / 2;
+    int64_t i = 1;
+    while (i < n) {
+      // ---- looking for a peak: track the running minimum ----
+      for (; i < n; i++) {
+        float v = t1[i];
         if (v < peak_value) peak_value = v;
-        else if (v - peak_value > p.peak_height) {
+        else if (v - peak_value > ph) {
           peak_value = v;
           peak_pos = i;
+          i++;
+          goto p0_track;
         }
-      } else {
+      }
+      break;
+    p0_track:
+      // ---- tracking, not yet over thresh1: only the max matters ----
+      for (; i < n; i++) {
+        float v = t1[i];
         if (v > peak_value) {
           peak_value = v;
           peak_pos = i;
         }
-        if (peak_value > p.thresh1) {   // trigger: resets + masks det 1
+        if (peak_value > th1) goto p0_trig;
+      }
+      break;
+    p0_trig:
+      // ---- over thresh1: every sample is a trigger (masks det 1) ----
+      {
+        bool in_run = false;
+        for (; i < n; i++) {
+          float v = t1[i];
+          if (v > peak_value) {
+            peak_value = v;
+            peak_pos = i;
+          }
           int64_t mt = peak_pos + p.win1;
           if (!in_run) {
             runs.push_back({i, i, mt, 0.f, false});
@@ -128,57 +182,80 @@ static int64_t peak_detector(const float* t1, const float* t2, int64_t n,
           } else {
             R.has_unmasked = false;
           }
-        }
-        if (peak_value - v > p.peak_height && peak_value > p.thresh1)
-          valid = true;
-        if (valid && i - peak_pos > p.win1 / 2) {
-          e0.push_back({i, peak_pos});
-          peak_pos = -1;
-          peak_value = v;
-          valid = false;
-          in_run = false;
+          if (peak_value - v > ph) valid = true;
+          if (valid && i - peak_pos > hw) {
+            e0.push_back({i, peak_pos});
+            peak_pos = -1;
+            peak_value = v;
+            valid = false;
+            i++;
+            break;
+          }
         }
       }
     }
   }
   {
-    // pass 1: long-window detector, replaying the reset/mask timeline
+    // pass 1: long-window detector, replaying the reset/mask timeline.
+    // Segmented like pass 0; masked stretches are skipped with a direct
+    // jump (i = masked_to + 1) instead of per-sample `continue`, and the
+    // next run-start boundary is carried in `next_run` so the inner loops
+    // compare against one register instead of re-reading the vector.
     int64_t peak_pos = -1;
     float peak_value = FLT_MAX;
     bool valid = false;
     int64_t masked_to = 0;
     size_t ri = 0;
-    for (int64_t i = 1; i < n; i++) {
-      if (ri < runs.size() && i == runs[ri].start) {
+    const float ph = p.peak_height, th2 = p.thresh2;
+    const int64_t hw = p.win2 / 2;
+    int64_t next_run = runs.empty() ? n : runs[0].start;
+    int64_t i = 1;
+    while (i < n) {
+      if (i == next_run) {
         peak_pos = -1;
         valid = false;
         peak_value = runs[ri].has_unmasked ? runs[ri].last_unmasked
                                            : FLT_MAX;
         masked_to = runs[ri].masked_to;
-        i = runs[ri].end;     // the whole trigger run is summarised
+        i = runs[ri].end + 1;   // the whole trigger run is summarised
         ri++;
+        next_run = ri < runs.size() ? runs[ri].start : n;
+      }
+      if (masked_to >= i) {
+        // skip the masked stretch, but never past the next run boundary
+        int64_t j = masked_to + 1;
+        i = j < next_run ? j : next_run;
         continue;
       }
-      if (masked_to >= i) continue;
-      float v = t2[i];
       if (peak_pos == -1) {
-        if (v < peak_value) peak_value = v;
-        else if (v - peak_value > p.peak_height) {
-          peak_value = v;
-          peak_pos = i;
+        // ---- looking for a peak ----
+        for (; i < n && i != next_run; i++) {
+          float v = t2[i];
+          if (v < peak_value) peak_value = v;
+          else if (v - peak_value > ph) {
+            peak_value = v;
+            peak_pos = i;
+            i++;
+            break;
+          }
         }
-      } else {
+        continue;
+      }
+      // ---- tracking ----
+      for (; i < n && i != next_run; i++) {
+        float v = t2[i];
         if (v > peak_value) {
           peak_value = v;
           peak_pos = i;
         }
-        if (peak_value - v > p.peak_height && peak_value > p.thresh2)
-          valid = true;
-        if (valid && i - peak_pos > p.win2 / 2) {
+        if (peak_value - v > ph && peak_value > th2) valid = true;
+        if (valid && i - peak_pos > hw) {
           e1.push_back({i, peak_pos});
           peak_pos = -1;
           peak_value = v;
           valid = false;
+          i++;
+          break;
         }
       }
     }
@@ -227,19 +304,62 @@ int64_t f5c_detect_events(const float* sig, int64_t n, int rna,
     sums[i + 1] = sums[i] + (double)v;
     sumsqs[i + 1] = sumsqs[i] + (double)(v * v);
   }
-  compute_tstat(sums.data(), sumsqs.data(), n, p.win1, t1.data());
-  compute_tstat(sums.data(), sumsqs.data(), n, p.win2, t2.data());
+  compute_tstat_pair(sums.data(), sumsqs.data(), n, p.win1, p.win2,
+                     t1.data(), t2.data());
   int64_t np_ = peak_detector(t1.data(), t2.data(), n, p, peaks.data());
   // events between consecutive valid peaks (events.c:466-513)
-  std::vector<int64_t> bounds;
-  bounds.reserve(np_ + 2);
-  bounds.push_back(0);
-  for (int64_t i = 0; i < np_; i++) {
-    if (peaks[i] > 0 && peaks[i] < n) bounds.push_back(peaks[i]);
+  static thread_local std::vector<int64_t> bounds;
+  if ((int64_t)bounds.size() < np_ + 2) bounds.resize(np_ + 2);
+  int64_t nb = 0;
+  bounds[nb++] = 0;
+  int64_t pi = 0;
+#if defined(__AVX512F__)
+  {
+    const __m512i vzero = _mm512_setzero_si512();
+    const __m512i vn = _mm512_set1_epi64(n);
+    for (; pi + 8 <= np_; pi += 8) {
+      __m512i v = _mm512_loadu_si512(peaks.data() + pi);
+      __mmask8 m = _mm512_cmpgt_epi64_mask(v, vzero)
+                   & _mm512_cmpgt_epi64_mask(vn, v);
+      _mm512_mask_compressstoreu_epi64(bounds.data() + nb, m, v);
+      nb += __builtin_popcount((unsigned)m);
+    }
   }
-  bounds.push_back(n);
-  int64_t n_events = (int64_t)bounds.size() - 1;
-  for (int64_t i = 0; i < n_events; i++) {
+#endif
+  for (; pi < np_; pi++) {
+    if (peaks[pi] > 0 && peaks[pi] < n) bounds[nb++] = peaks[pi];
+  }
+  bounds[nb++] = n;
+  int64_t n_events = nb - 1;
+  int64_t i = 0;
+#if defined(__AVX512F__)
+  // 8 events per step: start/end prefix values gathered once (an event's
+  // end bound is the next event's start), element-wise IEEE arithmetic —
+  // bit-identical to the scalar tail
+  for (; i + 8 <= n_events; i += 8) {
+    __m512i vs = _mm512_loadu_si512(bounds.data() + i);
+    __m512i ve = _mm512_loadu_si512(bounds.data() + i + 1);
+    __m512d sum_s = _mm512_i64gather_pd(vs, sums.data(), 8);
+    __m512d sum_e = _mm512_i64gather_pd(ve, sums.data(), 8);
+    __m512d sq_s = _mm512_i64gather_pd(vs, sumsqs.data(), 8);
+    __m512d sq_e = _mm512_i64gather_pd(ve, sumsqs.data(), 8);
+    __m256 len = _mm512_cvtepi64_ps(_mm512_sub_epi64(ve, vs));
+    __m256 mean = _mm256_div_ps(
+        _mm512_cvtpd_ps(_mm512_sub_pd(sum_e, sum_s)), len);
+    __m256 dsq = _mm512_cvtpd_ps(_mm512_sub_pd(sq_e, sq_s));
+    __m256 var = _mm256_sub_ps(_mm256_div_ps(dsq, len),
+                               _mm256_mul_ps(mean, mean));
+    // max(var, 0): maxps returns the second operand on NaN, matching
+    // the scalar (var > 0 ? var : 0) including the NaN -> 0 case
+    __m256 stdv = _mm256_sqrt_ps(_mm256_max_ps(var,
+                                               _mm256_setzero_ps()));
+    _mm512_storeu_si512(ev_start + i, vs);
+    _mm256_storeu_ps(ev_length + i, len);
+    _mm256_storeu_ps(ev_mean + i, mean);
+    _mm256_storeu_ps(ev_stdv + i, stdv);
+  }
+#endif
+  for (; i < n_events; i++) {
     int64_t s = bounds[i], e = bounds[i + 1];
     float length = (float)(e - s);
     float mean = (float)(sums[e] - sums[s]) / length;
@@ -332,6 +452,41 @@ void f5c_mom_scalings(const float* event_means, int64_t n_events,
   double scale = (event_sq_sum / n_events) / (kmer_sq_sum / n_kmers);
   *shift_out = (float)shift;
   *scale_out = (float)scale;
+}
+
+// One-call read preparation: ADC->pA + event detection + k-mer ranks +
+// MoM scaling (the whole f5c event_single stage, f5c.c:691-745) — a
+// single ctypes crossing per read instead of four (the per-call ctypes
+// argument-marshalling cost is ~20us on this host, x4 wrappers x K reads
+// per batch).  pa_out may be null when the caller does not keep raw pA.
+int64_t f5c_prep_read(const int16_t* raw, int64_t n_samples,
+                      float digitisation, float offset, float range,
+                      int rna, const char* seq, int64_t seq_len, int k,
+                      const float* level_mean,
+                      float* pa_out,
+                      int64_t* ev_start, float* ev_length,
+                      float* ev_mean, float* ev_stdv,
+                      int32_t* ranks_out, int64_t* n_kmers_out,
+                      float* shift_out, float* scale_out) {
+  static thread_local std::vector<float> pa_buf;
+  float* pa = pa_out;
+  if (!pa) {
+    if ((int64_t)pa_buf.size() < n_samples) pa_buf.resize(n_samples);
+    pa = pa_buf.data();
+  }
+  f5c_adc_to_pa(raw, n_samples, digitisation, offset, range, pa);
+  int64_t ne = f5c_detect_events(pa, n_samples, rna, ev_start, ev_length,
+                                 ev_mean, ev_stdv);
+  int64_t nk = f5c_kmer_ranks(seq, seq_len, k, 0, ranks_out);
+  *n_kmers_out = nk;
+  if (ne > 0 && nk > 0)
+    f5c_mom_scalings(ev_mean, ne, ranks_out, nk, level_mean, shift_out,
+                     scale_out);
+  else {
+    *shift_out = 0.0f;
+    *scale_out = 1.0f;
+  }
+  return ne;
 }
 
 // ---------------------------------------------------------------------------
@@ -932,6 +1087,30 @@ static inline int32_t zigzag_dec(uint32_t v) {
   return (int32_t)(v >> 1) ^ -(int32_t)(v & 1);
 }
 
+#if defined(__SSSE3__)
+// Per-control-byte shuffle masks for the 4-values-at-a-time decode: for
+// key byte k (2-bit codes c0..c3, lengths ci+1), mask[k] gathers the
+// packed little-endian bytes into 4 zero-extended u32 lanes; len[k] is
+// the total packed length (the classic streamvbyte decode shuffle).
+struct SvbTables {
+  alignas(16) int8_t mask[256][16];
+  uint8_t len[256];
+  SvbTables() {
+    for (int k = 0; k < 256; k++) {
+      int pos = 0;
+      for (int lane = 0; lane < 4; lane++) {
+        int L = ((k >> (2 * lane)) & 3) + 1;
+        for (int b = 0; b < 4; b++)
+          mask[k][4 * lane + b] = (b < L) ? (int8_t)(pos + b) : (int8_t)-1;
+        pos += L;
+      }
+      len[k] = (uint8_t)pos;
+    }
+  }
+};
+static const SvbTables svb_tables;
+#endif
+
 // Decode an svb-zd blob into int16 samples; returns N (or -1 on overflow).
 int64_t f5c_svb_zd_decode(const uint8_t* in, int64_t n_bytes,
                           int16_t* out, int64_t max_out) {
@@ -941,10 +1120,43 @@ int64_t f5c_svb_zd_decode(const uint8_t* in, int64_t n_bytes,
   if ((int64_t)count > max_out) return -1;
   const uint8_t* key = in + 4;
   const uint8_t* data = key + ((count + 3) / 4);
-  int shift = 0;
-  uint8_t k = count ? *key++ : 0;
+  const uint8_t* end = in + n_bytes;
   int32_t prev = 0;
-  for (uint32_t c = 0; c < count; c++) {
+  uint32_t c = 0;
+#if defined(__SSSE3__)
+  // 4 samples per control byte: shuffle-expand to u32, zigzag, in-register
+  // prefix sum (exact integer ops — bitwise identical to the scalar tail)
+  const __m128i zero = _mm_setzero_si128();
+  const __m128i one = _mm_set1_epi32(1);
+  const __m128i pack16 = _mm_setr_epi8(0, 1, 4, 5, 8, 9, 12, 13,
+                                       -1, -1, -1, -1, -1, -1, -1, -1);
+  __m128i vprev = _mm_set1_epi32(0);
+  while (c + 4 <= count && data + 16 <= end) {
+    uint8_t k = *key++;
+    __m128i raw = _mm_loadu_si128((const __m128i*)data);
+    data += svb_tables.len[k];
+    __m128i v = _mm_shuffle_epi8(
+        raw, _mm_load_si128((const __m128i*)svb_tables.mask[k]));
+    // zigzag: (v >> 1) ^ -(v & 1)
+    __m128i d = _mm_xor_si128(_mm_srli_epi32(v, 1),
+                              _mm_sub_epi32(zero, _mm_and_si128(v, one)));
+    // inclusive prefix sum over 4 lanes + carried prev
+    d = _mm_add_epi32(d, _mm_slli_si128(d, 4));
+    d = _mm_add_epi32(d, _mm_slli_si128(d, 8));
+    vprev = _mm_add_epi32(d, vprev);
+    // low 16 bits of each lane (wrapping, as the scalar (int16_t) cast)
+    _mm_storel_epi64((__m128i*)(out + c),
+                     _mm_shuffle_epi8(vprev, pack16));
+    vprev = _mm_shuffle_epi32(vprev, _MM_SHUFFLE(3, 3, 3, 3));
+    c += 4;
+  }
+  prev = (int32_t)_mm_cvtsi128_si32(vprev);
+#endif
+  // scalar tail (also the full path without SSSE3); the SIMD loop always
+  // stops on a control-byte boundary (c % 4 == 0), so shift restarts at 0
+  int shift = 0;
+  uint8_t k = (c < count) ? *key++ : 0;
+  for (; c < count; c++) {
     if (shift == 8) {
       shift = 0;
       k = *key++;

@@ -16,6 +16,7 @@ N+1 (the reference's pthread pipeline, here a thread + process pool).
 
 from __future__ import annotations
 
+import collections
 import functools
 import os
 import sys
@@ -147,18 +148,28 @@ def _worker_load(args):
         return qname, None
     if sig.nsample == 0:
         return qname, None
-    pa = sig.to_pa()
     from .. import native
-    if native.available():
-        et = native.detect_events(pa, rna=rna)
-        ranks = native.kmer_ranks(seq, model.k)
-        sc = native.mom_scalings(et.mean, ranks, model.level_mean)
+    ranks = None
+    if (native.available() and sig.raw.dtype == np.int16
+            and sig.raw.flags.c_contiguous):
+        # one native call for the whole event_single stage
+        et, ranks, sc, pa = native.prep_read(
+            sig.raw, sig.digitisation, sig.offset, sig.range, seq,
+            model.k, model.level_mean, rna=rna, keep_pa=keep_raw)
     else:
-        from ..ops.abea_ref import estimate_scalings_using_mom
-        from ..ops.events_ref import detect_events
+        pa = sig.to_pa()
+        if native.available():
+            et = native.detect_events(pa, rna=rna)
+            ranks = native.kmer_ranks(seq, model.k)
+            sc = native.mom_scalings(et.mean, ranks, model.level_mean)
+        else:
+            from ..ops.abea_ref import estimate_scalings_using_mom
+            from ..ops.events_ref import detect_events
 
-        et = detect_events(pa, rna=rna)
-        sc = estimate_scalings_using_mom(seq, model, et.mean)
+            et = detect_events(pa, rna=rna)
+            sc = estimate_scalings_using_mom(seq, model, et.mean)
+        if not keep_raw:
+            pa = None
     means = et.mean
     starts, lengths, stdvs = et.start, et.length, et.stdv
     if rna:
@@ -170,8 +181,8 @@ def _worker_load(args):
     return qname, dict(
         event_means=means, scaling=sc, sample_rate=sig.sample_rate,
         event_starts=starts, event_lengths=lengths, event_stdvs=stdvs,
-        nsample=sig.nsample,
-        raw_pa=pa if keep_raw else None,
+        nsample=sig.nsample, ranks=ranks,
+        raw_pa=pa,
     )
 
 
@@ -195,6 +206,7 @@ class Pipeline:
             qc_fail=0, processed=0, ultra_long_skipped=0)
         self.stage_time = dict(load=0.0, events=0.0, align=0.0,
                                scaling=0.0, hmm=0.0, output=0.0)
+        self.stage_detail = collections.defaultdict(float)
         self.regions = None
         self.clip_start = -1
         self.clip_end = -1
@@ -252,6 +264,10 @@ class Pipeline:
             qc_fail=0, processed=0, ultra_long_skipped=0)
         self.stage_time = dict(load=0.0, events=0.0, align=0.0,
                                scaling=0.0, hmm=0.0, output=0.0)
+        # fine-grained host/transfer/device accounting inside the stages
+        # (keys like "align.walk_sync", "hmm.h2d_bytes", "hmm.n_dispatch")
+        # — the evidence base for BENCH.md's device-time budget table
+        self.stage_detail = collections.defaultdict(float)
         self._n_batches = 0
         self._trace_budget_splits = 0
         # genomic window(s): -w chr:start-end or a .bed list
@@ -410,6 +426,7 @@ class Pipeline:
         r.event_stdvs = data["event_stdvs"]
         r.nsample = data["nsample"]
         r.raw_pa = data["raw_pa"]
+        r.ranks = data.get("ranks")
         return True
 
     # ---- device stages ---------------------------------------------------
@@ -809,7 +826,12 @@ class Pipeline:
             flat = np.asarray(flat)
             start_e = np.asarray(start_e)
             n = np.asarray(n)
-            self.stage_time["align"] += time.time() - t0
+            dt = time.time() - t0
+            self.stage_time["align"] += dt
+            # device fill + walk D2H wait for this wave (everything the
+            # host could not overlap)
+            self.stage_detail["align.walk_sync"] += dt
+            self.stage_detail["align.d2h_bytes"] += flat.nbytes
             t0 = time.time()
             for i, r in enumerate(todo):
                 if start_e[i] < 0 or n[i] == 0:
@@ -819,7 +841,9 @@ class Pipeline:
                                        flat[off[i]:off[i + 1]],
                                        int(n[i]), int(start_e[i]),
                                        float(scale[i]), float(shift[i]))
-            self.stage_time["scaling"] += time.time() - t0
+            dt = time.time() - t0
+            self.stage_time["scaling"] += dt
+            self.stage_detail["scaling.postalign_host"] += dt
             if (meth_inline
                     and slab_dev.shape[0] <= self.HMM_POOL_CAP):
                 t0 = time.time()
@@ -848,11 +872,16 @@ class Pipeline:
                     r.status |= FAILED_ALIGNMENT
                     continue
                 todo.append(r)
-            self.stage_time["events"] += time.time() - t0
+            dt = time.time() - t0
+            self.stage_time["events"] += dt
+            self.stage_detail["events.load_host"] += dt
 
             t0 = time.time()
             if native.available():
-                ranks = {id(r): native.kmer_ranks(r.seq, self.model.k)
+                ranks = {id(r): (r.ranks if getattr(r, "ranks", None)
+                                 is not None
+                                 else native.kmer_ranks(r.seq,
+                                                        self.model.k))
                          for r in todo}
             else:
                 ranks = {id(r): self.model.kmer_ranks(r.seq).astype(
@@ -894,8 +923,12 @@ class Pipeline:
             for k in rk_list:
                 rk_slab[pos:pos + k.shape[0]] = k
                 pos += k.shape[0]
+            t_h2d = time.time()
             slab_dev = jnp.asarray(slab)
             rk_slab_dev = jnp.asarray(rk_slab)
+            self.stage_detail["align.h2d_enqueue"] += time.time() - t_h2d
+            self.stage_detail["align.h2d_bytes"] += (slab.nbytes
+                                                    + rk_slab.nbytes)
             for r, o in zip(todo, ev_off):
                 hmm_off[id(r)] = pool_pos + int(o)
             chunks.append(slab_dev)
@@ -914,6 +947,7 @@ class Pipeline:
             off = np.zeros(len(byte_cap) + 1, np.int32)
             np.cumsum(byte_cap, out=off[1:])
             cap = _bucket(int(off[-1]), minimum=4096)
+            t_disp = time.time()
             out = abea_align_device_ring(
                 slab_dev, jnp.asarray(ev_off_p), jnp.asarray(ev_len_p),
                 rk_slab_dev, jnp.asarray(rk_off_p),
@@ -929,6 +963,9 @@ class Pipeline:
                     a.copy_to_host_async()
                 except AttributeError:
                     break
+            self.stage_detail["align.dispatch_enqueue"] += (time.time()
+                                                            - t_disp)
+            self.stage_detail["align.n_dispatch"] += 1
             launches.append((todo, ranks, off, scale, shift, slab_dev,
                              {id(r): int(o)
                               for r, o in zip(todo, ev_off)}, out))
@@ -1429,6 +1466,7 @@ class Pipeline:
         from ..ops.hmm import hmm_forward_packed
 
         k = self.cpg_model.k
+        t_col = time.time()
         ref_disamb: list[bytes] = []
         group_arrays = []
         for r in reads:
@@ -1441,6 +1479,7 @@ class Pipeline:
             group_arrays.append(native.collect_meth_groups(
                 dis, r.pos, cig_ops, cig_lens, r.is_reverse, len(r.seq),
                 r.b2e_start, k))
+        self.stage_detail["hmm.collect_host"] += time.time() - t_col
 
         # flatten groups -> per-item arrays (2 items per group: unmeth, meth)
         n_groups_per_read = [g["start_pos"].shape[0] for g in group_arrays]
@@ -1510,11 +1549,13 @@ class Pipeline:
             n_sub = idxs.shape[0]
             n_rows = max(_nbucket(-(-n_sub // segs)), 8)
             n_alloc = n_rows * segs
+            t_rk = time.time()
             ranks, n_km = native.hmm_window_ranks(
                 n_sub, n_alloc, seg, k, ref_concat, ref_off,
                 it_read[idxs], it_sub_start[idxs], it_sub_end[idxs],
                 it_meth[idxs], read_rc, self.cpg_model.num_kmers)
             ranks = ranks.reshape(n_rows, 128)
+            self.stage_detail["hmm.ranks_host"] += time.time() - t_rk
 
             def _padw(a, fill=0, idxs=idxs, n_alloc=n_alloc,
                       n_rows=n_rows, segs=segs):
@@ -1522,11 +1563,16 @@ class Pipeline:
                 out[:idxs.shape[0]] = a[idxs]
                 return out.reshape(n_rows, segs)
 
+            t_pk = time.time()
             args = (ranks, n_km.reshape(n_rows, segs),
                     _padw(it_ev_start), _padw(it_stride, fill=1),
                     _padw(it_n_ev), _padw(it_scale, fill=1),
                     _padw(it_shift), _padw(it_var, fill=1),
                     _padw(it_lp_stay), _padw(it_lp_step))
+            self.stage_detail["hmm.pack_host"] += time.time() - t_pk
+            self.stage_detail["hmm.h2d_bytes"] += sum(a.nbytes
+                                                      for a in args)
+            t_disp = time.time()
             devs = self._mesh_devices()
             if devs and n_rows >= 2 * len(devs):
                 # deal window-rows round-robin over the device mesh;
@@ -1558,6 +1604,9 @@ class Pipeline:
                     *(jnp.asarray(a) for a in args[2:]),
                     lm_dev, ls_dev, ll_dev, SEG=seg,
                     interpret=self._interpret_kernels())
+            self.stage_detail["hmm.dispatch_enqueue"] += (time.time()
+                                                          - t_disp)
+            self.stage_detail["hmm.n_dispatch"] += 1
             pending.append((idxs, n_sub, s))
         large = order[ksizes[order] > 128]
         if large.size:
@@ -1576,6 +1625,7 @@ class Pipeline:
                 out[:idxs.shape[0]] = a[idxs]
                 return out
 
+            t_disp = time.time()
             s = hmm_forward_packed(
                 jnp.asarray(ranks), jnp.asarray(n_km), ev_pool,
                 jnp.asarray(_pad1(it_ev_start)),
@@ -1587,6 +1637,9 @@ class Pipeline:
                 jnp.asarray(_pad1(it_lp_stay)),
                 jnp.asarray(_pad1(it_lp_step)),
                 lm_dev, ls_dev, ll_dev, pad_events=pad_e)
+            self.stage_detail["hmm.dispatch_enqueue"] += (time.time()
+                                                          - t_disp)
+            self.stage_detail["hmm.n_dispatch"] += 1
             pending.append((idxs, n_sub, s))
         for *_ , s in pending:
             try:
@@ -1605,8 +1658,13 @@ class Pipeline:
         out_sites: dict[int, dict] = {}
         for reads, group_arrays, ref_disamb, n_items, pending in states:
             scores = np.zeros(n_items, dtype=np.float32)
+            t_sync = time.time()
             for idxs, n_sub, s in pending:
                 scores[idxs] = np.asarray(s).reshape(-1)[:n_sub]
+            # wait for device HMM compute + score D2H not overlapped by
+            # host work
+            t_assemble = time.time()
+            self.stage_detail["hmm.score_sync"] += t_assemble - t_sync
             gi = 0
             for ri, r in enumerate(reads):
                 g = group_arrays[ri]
@@ -1627,6 +1685,8 @@ class Pipeline:
                     site.ll_unmethylated = float(scores[2 * gi])
                     site.ll_methylated = float(scores[2 * gi + 1])
                     gi += 1
+            self.stage_detail["hmm.assemble_host"] += (time.time()
+                                                       - t_assemble)
         self.stage_time["hmm"] += time.time() - t0
         return out_sites
 
