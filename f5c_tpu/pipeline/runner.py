@@ -966,6 +966,13 @@ class Pipeline:
             self.stage_detail["align.dispatch_enqueue"] += (time.time()
                                                             - t_disp)
             self.stage_detail["align.n_dispatch"] += 1
+            # useful DP work dispatched (absolute roofline metric:
+            # band cells = (n_events + n_kmers + 2) bands x 128 lanes)
+            self.stage_detail["align.band_cells"] += float(sum(
+                (r.n_events + len(r.seq) - self.model.k + 3) * 128
+                for r in todo))
+            self.stage_detail["align.n_events"] += float(
+                sum(r.n_events for r in todo))
             launches.append((todo, ranks, off, scale, shift, slab_dev,
                              {id(r): int(o)
                               for r, o in zip(todo, ev_off)}, out))
@@ -1665,25 +1672,31 @@ class Pipeline:
             # host work
             t_assemble = time.time()
             self.stage_detail["hmm.score_sync"] += t_assemble - t_sync
+            # plain-list iteration: numpy scalar indexing costs ~100ns
+            # per field access, which dominated this loop (~28us/group)
+            sc_list = scores.tolist()
             gi = 0
             for ri, r in enumerate(reads):
                 g = group_arrays[ri]
                 site_map = out_sites.setdefault(id(r), {})
                 dis = ref_disamb[ri]
-                for j in range(g["start_pos"].shape[0]):
-                    start = int(g["start_pos"][j])
-                    first = start - r.pos
-                    last = int(g["end_pos"][j]) - r.pos
+                r_pos = r.pos
+                starts = g["start_pos"].tolist()
+                ends = g["end_pos"].tolist()
+                ncpgs = g["n_cpg"].tolist()
+                for j, start in enumerate(starts):
                     site = site_map.get(start)
                     if site is None:
+                        first = start - r_pos
                         site = ScoredSite(
                             start_position=start,
-                            end_position=int(g["end_pos"][j]),
-                            n_cpg=int(g["n_cpg"][j]),
-                            sequence=dis[first - k + 1 : last + k].decode())
+                            end_position=ends[j],
+                            n_cpg=ncpgs[j],
+                            sequence=dis[first - k + 1
+                                         : ends[j] - r_pos + k].decode())
                         site_map[start] = site
-                    site.ll_unmethylated = float(scores[2 * gi])
-                    site.ll_methylated = float(scores[2 * gi + 1])
+                    site.ll_unmethylated = sc_list[2 * gi]
+                    site.ll_methylated = sc_list[2 * gi + 1]
                     gi += 1
             self.stage_detail["hmm.assemble_host"] += (time.time()
                                                        - t_assemble)
