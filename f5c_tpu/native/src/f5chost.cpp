@@ -1524,17 +1524,14 @@ int f5c_decode_qc_postalign(
     int32_t* failed_out) {
   const float log_inv_sqrt_2pi = -0.918938f;
   int64_t k = n_kmers - 1, e = start_event;
-  float sum_em = 0.0f;
   int32_t gap = 0, max_gap = 0;
   int64_t last_k = -1;
+  // pass 1: serial walk — pairs + gap tracking only (the (k,e) chain is
+  // inherently sequential, but stripped of the emission math it runs at
+  // ~5 ops/step)
   for (int64_t i = 0; i < n; i++) {
     pairs_k[n - 1 - i] = (int32_t)k;
     pairs_e[n - 1 - i] = (int32_t)e;
-    int32_t rk = ranks[k];
-    float a = (event_means[e] - (scale * level_mean[rk] + shift))
-              / level_stdv[rk];
-    sum_em += (log_inv_sqrt_2pi - level_log_stdv[rk])
-              + (-0.5f * a * a);
     last_k = k;
     int d = (packed_dirs[i >> 2] >> ((i & 3) * 2)) & 3;
     if (d == 1) {            // stay: previous event
@@ -1550,6 +1547,45 @@ int f5c_decode_qc_postalign(
     }
     if (gap > max_gap) max_gap = gap;
   }
+  // pass 2: per-pair Gaussian log emission, element-exact and freely
+  // vectorisable (gathers); the ACCUMULATION stays a separate serial
+  // f32 loop in walk order (i ascending = pair index descending) so
+  // sum_em is bit-identical to the fused original
+  static thread_local std::vector<float> em_buf;
+  if ((int64_t)em_buf.size() < n) em_buf.resize(n);
+  float* em = em_buf.data();
+  int64_t j = 0;
+#if defined(__AVX512F__)
+  {
+    const __m512 vscale = _mm512_set1_ps(scale);
+    const __m512 vshift = _mm512_set1_ps(shift);
+    const __m512 vc = _mm512_set1_ps(log_inv_sqrt_2pi);
+    const __m512 vmh = _mm512_set1_ps(-0.5f);
+    for (; j + 16 <= n; j += 16) {
+      __m512i vk = _mm512_loadu_si512(pairs_k + j);
+      __m512i ve = _mm512_loadu_si512(pairs_e + j);
+      __m512i vrk = _mm512_i32gather_epi32(vk, ranks, 4);
+      __m512 lm = _mm512_i32gather_ps(vrk, level_mean, 4);
+      __m512 ls = _mm512_i32gather_ps(vrk, level_stdv, 4);
+      __m512 ll = _mm512_i32gather_ps(vrk, level_log_stdv, 4);
+      __m512 evm = _mm512_i32gather_ps(ve, event_means, 4);
+      // a = (ev - (scale*lm + shift)) / ls   — no FMA (fp-contract off)
+      __m512 pred = _mm512_add_ps(_mm512_mul_ps(vscale, lm), vshift);
+      __m512 a = _mm512_div_ps(_mm512_sub_ps(evm, pred), ls);
+      // em = (c - ll) + (-0.5f * a * a)
+      __m512 t = _mm512_mul_ps(vmh, _mm512_mul_ps(a, a));
+      _mm512_storeu_ps(em + j, _mm512_add_ps(_mm512_sub_ps(vc, ll), t));
+    }
+  }
+#endif
+  for (; j < n; j++) {
+    int32_t rk = ranks[pairs_k[j]];
+    float a = (event_means[pairs_e[j]] - (scale * level_mean[rk] + shift))
+              / level_stdv[rk];
+    em[j] = (log_inv_sqrt_2pi - level_log_stdv[rk]) + (-0.5f * a * a);
+  }
+  float sum_em = 0.0f;
+  for (int64_t i = 0; i < n; i++) sum_em += em[n - 1 - i];
   float avg = sum_em / (n > 0 ? (float)n : 1.0f);
   int spanned = (n > 0) && (last_k == 0);
   *sum_em_out = sum_em;
