@@ -958,13 +958,40 @@ def run_eventalign(pipe, args, out=sys.stdout):
     engine = EventalignEngine(pipe.model, region_start=pipe.clip_start,
                               region_end=pipe.clip_end)
     keep_raw = samples or collapse
-    for batch in pipe.batches_prefetched(keep_raw=keep_raw):
-        pipe.align_batch(batch)
-        t0 = _time.time()
-        ok = [r for r in batch if not r.status and r.b2e_start is not None]
-        refs = [pipe._fetch_ref_segment(r) for r in ok]
-        recs_map = engine.realign_batch(ok, refs)
-        pipe.stage_time["hmm"] += _time.time() - t0
+    use_waves = pipe.supports_waves()
+    batches = (pipe.batches(load=False) if use_waves
+               else pipe.batches_prefetched(keep_raw=keep_raw))
+    for batch in batches:
+        if use_waves:
+            # wave-pipelined: realign wave N-1 on the host while the
+            # device fills wave N's bands (the re-alignment loop is the
+            # eventalign hot host stage, so this overlap is the whole
+            # CPU/device concurrency story of meth_main.c:610-742 here)
+            recs_map = {}
+
+            def _wave_realign(ok_reads, _m=recs_map):
+                if not ok_reads:
+                    return
+                t0 = _time.time()
+                refs = [pipe._fetch_ref_segment(r) for r in ok_reads]
+                _m.update(engine.realign_batch(ok_reads, refs))
+                pipe.stage_time["hmm"] += _time.time() - t0
+
+            pipe.align_batch_waved(batch, keep_raw=keep_raw,
+                                   wave_done=_wave_realign)
+            # reads deflected to the ultra path finish after the waves
+            rest = [r for r in batch
+                    if not r.status and r.b2e_start is not None
+                    and id(r) not in recs_map]
+            _wave_realign(rest)
+        else:
+            pipe.align_batch(batch)
+            t0 = _time.time()
+            ok = [r for r in batch
+                  if not r.status and r.b2e_start is not None]
+            refs = [pipe._fetch_ref_segment(r) for r in ok]
+            recs_map = engine.realign_batch(ok, refs)
+            pipe.stage_time["hmm"] += _time.time() - t0
         t0 = _time.time()
         for r in batch:
             if r.status:

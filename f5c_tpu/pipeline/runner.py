@@ -772,7 +772,8 @@ class Pipeline:
 
     def align_batch_waved(self, batch: list[ReadRecord],
                           keep_raw: bool = False,
-                          meth_inline: bool = False):
+                          meth_inline: bool = False,
+                          wave_done=None):
         """Load + event-detect + ABEA for one batch as a host/device
         software pipeline.
 
@@ -857,6 +858,11 @@ class Pipeline:
                         self._meth_states.append(st)
                     self._meth_covered.update(id(r) for r in ok)
                 self.stage_time["hmm"] += time.time() - t0
+            if wave_done is not None:
+                # per-wave host continuation (eventalign realign): runs
+                # while the device fills the NEXT wave's bands
+                wave_done([r for r in todo
+                           if not r.status and r.b2e_start is not None])
 
         for w in waves:
             # ---- host: signal fetch + event detection + MoM ----

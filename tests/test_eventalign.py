@@ -192,3 +192,69 @@ def test_emitters(small_pipeline):
     m6 = EA.emit_m6anet_tsv(rec, r, p.model, contig, rec.ref_disamb,
                             rec.ref_offset, r.read_idx)
     assert len(m6.splitlines()) == np.unique(rec.ref_position).shape[0]
+
+
+def test_waved_matches_plain_e2e(tmp_path):
+    """run_eventalign through the wave pipeline (per-wave realign
+    overlapping device fills, runner.align_batch_waved wave_done) is
+    byte-identical to the plain align-then-realign path."""
+    import filecmp
+    from types import SimpleNamespace
+
+    from f5c_tpu.io.bam import write_bam
+    from f5c_tpu.io.fasta import FastaIndex
+    from f5c_tpu.io.readdb import ReadDB
+    from f5c_tpu.pipeline.eventalign import run_eventalign
+    from f5c_tpu.pipeline.runner import Options, Pipeline
+
+    fa = FastaIndex(os.path.join(ECOLI, "reads.fasta"))
+    names = fa.names()[:6]
+    tmp = str(tmp_path)
+    genome = os.path.join(tmp, "genome.fa")
+    reads = os.path.join(tmp, "reads.fasta")
+    with open(genome, "w") as g, open(reads, "w") as r:
+        for n in names:
+            seq = fa.fetch(n)
+            g.write(f">{n}\n{seq}\n")
+            r.write(f">{n}\n{seq}\n")
+
+    class Rec:
+        pass
+
+    recs = []
+    for i, n in enumerate(names):
+        rec = Rec()
+        rec.qname = n
+        rec.flag = 0
+        rec.tid = i
+        rec.pos = 0
+        rec.mapq = 60
+        rec.cigar = [(0, fa.entries[n].length)]
+        rec.seq = fa.fetch(n)
+        recs.append(rec)
+    bam = os.path.join(tmp, "self.bam")
+    write_bam(bam, [(n, fa.entries[n].length) for n in names], recs)
+    ReadDB(reads).build(fast5_dirs=[os.path.join(ECOLI, "fast5_files")])
+
+    outs = []
+    for mode, env in (("waved", {"F5C_TPU_MESH": "0"}),
+                      ("plain", {"F5C_TPU_FILL": "xla"})):
+        old = {k: os.environ.get(k) for k in env}
+        os.environ.update(env)
+        os.environ["F5C_TPU_EA_ENGINE"] = "native"
+        try:
+            pipe = Pipeline(bam, genome, reads, Options(min_mapq=0))
+            if mode == "waved" and not pipe.supports_waves():
+                pytest.skip("wave pipeline unavailable on this backend")
+            out_path = os.path.join(tmp, f"ea_{mode}.tsv")
+            with open(out_path, "w") as out:
+                run_eventalign(pipe, SimpleNamespace(), out=out)
+            outs.append(out_path)
+        finally:
+            for k, v in old.items():
+                if v is None:
+                    os.environ.pop(k, None)
+                else:
+                    os.environ[k] = v
+            os.environ.pop("F5C_TPU_EA_ENGINE", None)
+    assert filecmp.cmp(outs[0], outs[1], shallow=False)
