@@ -98,6 +98,8 @@ def _declare(lib):
         ctypes.c_void_p,
         ctypes.c_void_p, ctypes.POINTER(_i64),
         ctypes.POINTER(_f32), ctypes.POINTER(_f32)]
+    lib.f5c_prof_get.restype = None
+    lib.f5c_prof_get.argtypes = [ctypes.POINTER(ctypes.c_double)]
     lib.f5c_svb_zd_decode.restype = _i64
     lib.f5c_svb_zd_decode.argtypes = [_u8p, _i64, _i16p, _i64]
     lib.f5c_svb_zd_encode.restype = _i64
@@ -604,3 +606,12 @@ def abea_assemble(B, E, PAD, ev_concat, ev_off, ev_len, rank_concat, rk_off,
         scale_in, shift_in,
         ev, km, ks, kl, n_ev, n_km, scale, shift, lp_stay, lp_step)
     return ev, km, ks, kl, n_ev, n_km, scale, shift, lp_stay, lp_step
+
+
+def prof_get():
+    """Drain the native phase profilers (F5C_NATIVE_PROF=1): returns
+    [viterbi_s, decode_commit_s, setup_s, total_s, ...] and resets."""
+    lib = get_lib()
+    buf = (ctypes.c_double * 8)()
+    lib.f5c_prof_get(buf)
+    return list(buf)

@@ -15,11 +15,30 @@
 
 #include <algorithm>
 #include <cfloat>
+#include <chrono>
 #include <cmath>
 #include <cstdint>
 #include <cstdio>
+#include <cstdlib>
 #include <cstring>
 #include <vector>
+
+// lightweight phase profiling for the hot native entry points, enabled
+// by F5C_NATIVE_PROF=1 (read once); accumulators drained by
+// f5c_prof_get.  Slots: 0=viterbi fill+backtrace, 1=decode/commit,
+// 2=closest-event/segment setup, 3=whole realign call.
+static bool prof_on() {
+  static const bool on = [] {
+    const char* e = getenv("F5C_NATIVE_PROF");
+    return e && e[0] == '1';
+  }();
+  return on;
+}
+static thread_local double g_prof[8] = {0};
+static inline double prof_now() {
+  return std::chrono::duration<double>(
+      std::chrono::steady_clock::now().time_since_epoch()).count();
+}
 
 #if defined(__AVX512F__) && defined(__AVX512BW__)
 #include <immintrin.h>
@@ -1734,10 +1753,16 @@ int64_t f5c_realign_read(
       }
       if ((int64_t)movs.size() < n_ev + n_kmers + 4)
         movs.resize(n_ev + n_kmers + 4);
+      double tv = prof_on() ? prof_now() : 0.0;
       int64_t n_mv = f5c_viterbi_chunk(
           rks, rstride, n_kmers, ev_means, curr_start_event, stride,
           n_ev, scale, shift, var, events_per_base, level_mean,
           level_stdv, level_log_stdv, movs.data());
+      if (prof_on()) {
+        double t1 = prof_now();
+        g_prof[0] += t1 - tv;
+        tv = t1;
+      }
 
       // decode movements (walk order = reverse path) + commit with the
       // OUTPUT_STRIDE cap (eventalign.c:1424-1521)
@@ -1778,6 +1803,7 @@ int64_t f5c_realign_read(
         last_event_output = ev;
         last_ref_kmer_output = curr_start_ref + t_km[i];
       }
+      if (prof_on()) g_prof[1] += prof_now() - tv;
       if (emitted == 0) break;
       curr_start_event = last_event_output;
       curr_start_ref = last_ref_kmer_output;
@@ -1785,6 +1811,13 @@ int64_t f5c_realign_read(
     }
   }
   return n_out;
+}
+
+void f5c_prof_get(double* out) {
+  for (int i = 0; i < 8; i++) {
+    out[i] = g_prof[i];
+    g_prof[i] = 0.0;
+  }
 }
 
 // Slim variant of f5c_hmm_assemble for device-side assembly: only the
