@@ -100,6 +100,15 @@ def _declare(lib):
         ctypes.POINTER(_f32), ctypes.POINTER(_f32)]
     lib.f5c_prof_get.restype = None
     lib.f5c_prof_get.argtypes = [ctypes.POINTER(ctypes.c_double)]
+    lib.f5c_format_meth_rows.restype = _i64
+    lib.f5c_format_meth_rows.argtypes = [
+        ctypes.c_char_p, ctypes.c_char_p, _int, _i64,
+        _i64p, _i64p,
+        np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
+        _i32p, _i32p,
+        ctypes.c_char_p, _i64p,
+        ctypes.c_void_p, _i64]
     lib.f5c_svb_zd_decode.restype = _i64
     lib.f5c_svb_zd_decode.argtypes = [_u8p, _i64, _i16p, _i64]
     lib.f5c_svb_zd_encode.restype = _i64
@@ -615,3 +624,29 @@ def prof_get():
     buf = (ctypes.c_double * 8)()
     lib.f5c_prof_get(buf)
     return list(buf)
+
+
+def format_meth_rows(contig: str, qname: str, strand: int, starts,
+                     ends, llm, llu, strands_scored, n_cpg,
+                     seqs: list) -> bytes:
+    """One read's methylation TSV rows as bytes (f5c.c:1030-1062).
+    strand: 0 for the v1 layout, ord('+')/ord('-') for v2."""
+    lib = get_lib()
+    n = len(starts)
+    seq_concat = "".join(seqs).encode()
+    seq_off = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum([len(s) for s in seqs], out=seq_off[1:])
+    cap = (len(seq_concat) + n * (len(contig) + len(qname) + 96) + 64)
+    out = ctypes.create_string_buffer(cap)
+    w = lib.f5c_format_meth_rows(
+        contig.encode(), qname.encode(), strand, n,
+        np.ascontiguousarray(starts, np.int64),
+        np.ascontiguousarray(ends, np.int64),
+        np.ascontiguousarray(llm, np.float64),
+        np.ascontiguousarray(llu, np.float64),
+        np.ascontiguousarray(strands_scored, np.int32),
+        np.ascontiguousarray(n_cpg, np.int32),
+        seq_concat, seq_off, out, cap)
+    if w < 0:
+        raise RuntimeError("format_meth_rows overflow")
+    return out.raw[:w]

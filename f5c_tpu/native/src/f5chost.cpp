@@ -1820,6 +1820,51 @@ void f5c_prof_get(double* out) {
   }
 }
 
+// Render one read's methylation TSV rows (f5c.c:1030-1062 format) in a
+// single call.  strand: 0 -> v1 layout (no strand column), '+'/'-' ->
+// v2.  llr = llm - llu computed in double, matching the Python float
+// property; %.2f and Python's :.2f are both correctly-rounded decimal
+// conversions, so rows are byte-identical to the Python renderer.
+int64_t f5c_format_meth_rows(
+    const char* contig, const char* qname, int strand,
+    int64_t n_rows,
+    const int64_t* starts, const int64_t* ends,
+    const double* llm, const double* llu,
+    const int32_t* strands_scored, const int32_t* n_cpg,
+    const char* seq_concat, const int64_t* seq_off,
+    char* out, int64_t cap) {
+  int64_t w = 0;
+  for (int64_t i = 0; i < n_rows; i++) {
+    int64_t room = cap - w;
+    if (room < 64) return -1;
+    int h;
+    if (strand == 0) {
+      h = snprintf(out + w, (size_t)room, "%s\t%lld\t%lld\t%s\t",
+                   contig, (long long)starts[i], (long long)ends[i],
+                   qname);
+    } else {
+      h = snprintf(out + w, (size_t)room, "%s\t%c\t%lld\t%lld\t%s\t",
+                   contig, (char)strand, (long long)starts[i],
+                   (long long)ends[i], qname);
+    }
+    if (h < 0 || h >= room) return -1;
+    w += h;
+    room = cap - w;
+    double llr = llm[i] - llu[i];
+    h = snprintf(out + w, (size_t)room, "%.2f\t%.2f\t%.2f\t%d\t%d\t",
+                 llr, llm[i], llu[i], (int)strands_scored[i],
+                 (int)n_cpg[i]);
+    if (h < 0 || h >= room) return -1;
+    w += h;
+    int64_t sl = seq_off[i + 1] - seq_off[i];
+    if (cap - w < sl + 1) return -1;
+    memcpy(out + w, seq_concat + seq_off[i], (size_t)sl);
+    w += sl;
+    out[w++] = '\n';
+  }
+  return w;
+}
+
 // Slim variant of f5c_hmm_assemble for device-side assembly: only the
 // per-item kmer ranks (padded [N, pad_k] row-major, int16 when the model
 // fits) and window kmer counts. The device gathers the model tables and

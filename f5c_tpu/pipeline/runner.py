@@ -1915,15 +1915,32 @@ class Pipeline:
 
 def _render_meth_rows(contig: str, qname: str, is_reverse: bool,
                       site_map: dict, out_version: int,
-                      clip_start: int, clip_end: int) -> str:
+                      clip_start: int, clip_end: int):
     """One read's methylation TSV rows (f5c.c:1030-1062 format)."""
+    from .. import native
+
+    sites = [site_map[s] for s in sorted(site_map)
+             # window clip (f5c.c:1046-1047)
+             if not ((clip_start != -1
+                      and site_map[s].start_position < clip_start)
+                     or (clip_end != -1
+                         and site_map[s].end_position >= clip_end))]
+    if not sites:
+        return b""
+    if native.available():
+        strand = (0 if out_version == 1
+                  else ord("-") if is_reverse else ord("+"))
+        return native.format_meth_rows(
+            contig, qname, strand,
+            [ss.start_position for ss in sites],
+            [ss.end_position for ss in sites],
+            [ss.ll_methylated for ss in sites],
+            [ss.ll_unmethylated for ss in sites],
+            [ss.strands_scored for ss in sites],
+            [ss.n_cpg for ss in sites],
+            [ss.sequence for ss in sites])
     parts = []
-    for start in sorted(site_map):
-        ss = site_map[start]
-        # window clip (f5c.c:1046-1047)
-        if ((clip_start != -1 and ss.start_position < clip_start)
-                or (clip_end != -1 and ss.end_position >= clip_end)):
-            continue
+    for ss in sites:
         if out_version == 1:
             head = f"{contig}\t{ss.start_position}\t{ss.end_position}\t"
         else:
