@@ -1611,6 +1611,16 @@ class Pipeline:
                 # un-deal: row r's scores live at ss[r % D, r // D]
                 s = jnp.transpose(ss, (1, 0, 2)).reshape(
                     D * n_rows_d, segs)[:n_rows]
+            elif (os.environ.get("F5C_TPU_HMM_PACKBUF") == "1"
+                    and args[0].dtype == np.int16):
+                # one H2D transfer instead of ten (tunnelled hosts)
+                from ..ops.hmm_pallas import (hmm_forward_pallas_buf,
+                                              pack_hmm_args)
+
+                s = hmm_forward_pallas_buf(
+                    jnp.asarray(pack_hmm_args(args)), ev_pool,
+                    lm_dev, ls_dev, ll_dev, SEG=seg,
+                    interpret=self._interpret_kernels())
             else:
                 s = hmm_forward_pallas(
                     *(jnp.asarray(a) for a in args[:2]), ev_pool,
