@@ -229,3 +229,106 @@ def test_abea_assemble_matches_make_batch():
     np.testing.assert_array_equal(np.asarray(ref.shift), shift)
     np.testing.assert_array_equal(np.asarray(ref.lp_stay), lp_stay)
     np.testing.assert_array_equal(np.asarray(ref.lp_step), lp_step)
+
+
+@pytest.mark.skipif(not os.path.isdir(ECOLI), reason="dataset missing")
+def test_prep_read_matches_four_call_path():
+    """f5c_prep_read (one ctypes crossing) == adc_to_pa + detect_events
+    + kmer_ranks + mom_scalings, bit-for-bit."""
+    import glob
+
+    from f5c_tpu.io.fast5 import read_fast5_signal
+
+    path = sorted(glob.glob(os.path.join(ECOLI, "fast5_files",
+                                         "*.fast5")))[0]
+    sig = read_fast5_signal(path)
+    seq = "ACGTACGTTG" * 400
+    model = builtin_model("dna_r9_nucleotide")
+    lm = model.level_mean
+    et2, rk2, sc2, pa2 = native.prep_read(
+        sig.raw, sig.digitisation, sig.offset, sig.range, seq, model.k,
+        lm, keep_pa=True)
+    pa = sig.to_pa()
+    et = native.detect_events(pa)
+    rk = native.kmer_ranks(seq, model.k)
+    sc = native.mom_scalings(et.mean, rk, lm)
+    assert np.array_equal(et.start, et2.start)
+    assert np.array_equal(et.length, et2.length)
+    assert np.array_equal(et.mean, et2.mean)
+    assert np.array_equal(et.stdv, et2.stdv)
+    assert np.array_equal(rk, rk2)
+    assert sc.shift == sc2.shift and sc.scale == sc2.scale
+    assert np.array_equal(pa, pa2)
+
+
+def test_decode_qc_postalign_split_parity():
+    """The walk/emission split (+AVX-512 gathers) is bit-identical to a
+    fused-order f32 replication: sum_emission, max_gap, pairs."""
+    rng = np.random.default_rng(123)
+    f32 = np.float32
+    for trial in range(5):
+        n_kmers = int(rng.integers(50, 1500))
+        n_events = int(rng.integers(n_kmers, 3 * n_kmers))
+        ranks = rng.integers(0, 4096, n_kmers).astype(np.int32)
+        lm = rng.normal(90, 10, 4096).astype(f32)
+        ls = rng.uniform(0.8, 3.0, 4096).astype(f32)
+        lls = np.log(ls).astype(f32)
+        ev = rng.normal(90, 12, n_events).astype(f32)
+        scale, shift = f32(rng.uniform(0.9, 1.1)), f32(rng.uniform(-5, 5))
+        k, e = n_kmers - 1, n_events - 1
+        dirs = []
+        while k > 0 and e > 0:
+            d = int(rng.choice([0, 1, 2], p=[0.5, 0.35, 0.15]))
+            if d == 1 and e == 0:
+                d = 0
+            if d in (0, 2) and k == 0:
+                d = 1
+            dirs.append(d)
+            if d == 1:
+                e -= 1
+            elif d == 0:
+                k -= 1
+                e -= 1
+            else:
+                k -= 1
+        while k > 0:
+            dirs.append(2)
+            k -= 1
+        n = len(dirs)
+        packed = np.zeros((n + 3) // 4, np.uint8)
+        for i, d in enumerate(dirs):
+            packed[i >> 2] |= d << ((i & 3) * 2)
+        kk, ee = n_kmers - 1, n_events - 1
+        sum_em = f32(0.0)
+        gap = 0
+        max_gap = 0
+        pk = np.zeros(n, np.int32)
+        pe = np.zeros(n, np.int32)
+        for i, d in enumerate(dirs):
+            pk[n - 1 - i] = kk
+            pe[n - 1 - i] = ee
+            rk = ranks[kk]
+            a = f32(f32(ev[ee] - f32(scale * lm[rk] + shift)) / ls[rk])
+            em = f32(f32(f32(-0.918938) - lls[rk])
+                     + f32(f32(-0.5) * f32(a * a)))
+            sum_em = f32(sum_em + em)
+            if d == 1:
+                ee -= 1
+                gap = 0
+            elif d == 0:
+                kk -= 1
+                ee -= 1
+                gap = 0
+            else:
+                kk -= 1
+                gap += 1
+            max_gap = max(max_gap, gap)
+        res = native.decode_qc_postalign(
+            packed, n, n_events - 1, ranks, ev, lm, ls, lls,
+            float(scale), float(shift), -5.0, 50, 200)
+        failed, okc, pairs, b2s, b2p, epb, rc, sum_em_n, max_gap_n = res
+        assert sum_em_n == float(sum_em)
+        assert max_gap_n == max_gap
+        if pairs is not None and len(pairs):
+            assert np.array_equal(pairs[:, 0], pk)
+            assert np.array_equal(pairs[:, 1], pe)
