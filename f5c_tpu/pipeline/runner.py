@@ -834,14 +834,33 @@ class Pipeline:
             self.stage_detail["align.walk_sync"] += dt
             self.stage_detail["align.d2h_bytes"] += flat.nbytes
             t0 = time.time()
-            for i, r in enumerate(todo):
+
+            def _post_one(i, r):
                 if start_e[i] < 0 or n[i] == 0:
                     r.status |= FAILED_ALIGNMENT
-                    continue
+                    return
                 self._postalign_qc_one(r, ranks[id(r)],
                                        flat[off[i]:off[i + 1]],
                                        int(n[i]), int(start_e[i]),
                                        float(scale[i]), float(shift[i]))
+
+            n_workers = int(os.environ.get("F5C_TPU_POST_THREADS",
+                                           os.cpu_count() or 1))
+            if n_workers > 1 and len(todo) > 3:
+                # per-read postalign is independent and runs inside a
+                # single ctypes call (GIL released), so a thread pool
+                # scales it with host cores — keeps single-CPU host
+                # work from capping multi-chip speedup (f5c.cu's CPU
+                # pthread pool analogue)
+                from concurrent.futures import ThreadPoolExecutor
+                pool = getattr(self, "_post_pool", None)
+                if pool is None:
+                    pool = self._post_pool = ThreadPoolExecutor(
+                        max_workers=min(n_workers, 8))
+                list(pool.map(_post_one, range(len(todo)), todo))
+            else:
+                for i, r in enumerate(todo):
+                    _post_one(i, r)
             dt = time.time() - t0
             self.stage_time["scaling"] += dt
             self.stage_detail["scaling.postalign_host"] += dt
