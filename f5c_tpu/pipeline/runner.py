@@ -1499,18 +1499,34 @@ class Pipeline:
 
         k = self.cpg_model.k
         t_col = time.time()
-        ref_disamb: list[bytes] = []
-        group_arrays = []
-        for r in reads:
-            dis = native.disambiguate(self._fetch_ref_segment(r).encode())
-            ref_disamb.append(dis)
+        # ref fetch stays serial (shared FastaIndex handle); the native
+        # disambiguate + CpG collection is GIL-released and independent
+        # per read, so it threads across host cores like postalign
+        refs = [self._fetch_ref_segment(r).encode() for r in reads]
+
+        def _collect(r, ref):
+            dis = native.disambiguate(ref)
             cig_ops = np.fromiter((op for op, _ in r.cigar), np.int32,
                                   len(r.cigar))
             cig_lens = np.fromiter((ln for _, ln in r.cigar), np.int32,
                                    len(r.cigar))
-            group_arrays.append(native.collect_meth_groups(
+            return dis, native.collect_meth_groups(
                 dis, r.pos, cig_ops, cig_lens, r.is_reverse, len(r.seq),
-                r.b2e_start, k))
+                r.b2e_start, k)
+
+        n_workers = int(os.environ.get("F5C_TPU_POST_THREADS",
+                                       os.cpu_count() or 1))
+        if n_workers > 1 and len(reads) > 3:
+            from concurrent.futures import ThreadPoolExecutor
+            pool = getattr(self, "_post_pool", None)
+            if pool is None:
+                pool = self._post_pool = ThreadPoolExecutor(
+                    max_workers=min(n_workers, 8))
+            results = list(pool.map(_collect, reads, refs))
+        else:
+            results = [_collect(r, ref) for r, ref in zip(reads, refs)]
+        ref_disamb = [d for d, _ in results]
+        group_arrays = [g for _, g in results]
         self.stage_detail["hmm.collect_host"] += time.time() - t_col
 
         # flatten groups -> per-item arrays (2 items per group: unmeth, meth)
