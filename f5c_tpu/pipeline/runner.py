@@ -115,6 +115,9 @@ class ReadRecord:
 # --- worker-side load (runs in subprocesses) -------------------------------
 
 _W = {}
+# guards the shared signal reader when _worker_load runs on threads
+# (the per-thread native prep is GIL-released and needs no lock)
+_W_FETCH_LOCK = __import__("threading").Lock()
 
 
 def _worker_init(model_kind: str, model_path: str | None, rna: bool):
@@ -133,17 +136,18 @@ def _worker_load(args):
     model = _W["model"]
     rna = _W["rna"]
     try:
-        if path.endswith(".blow5") or path.endswith(".slow5"):
-            f5 = _W.get("slow5")
-            if f5 is None or f5.path != path:
-                from ..io.slow5 import Slow5File
+        with _W_FETCH_LOCK:
+            if path.endswith(".blow5") or path.endswith(".slow5"):
+                f5 = _W.get("slow5")
+                if f5 is None or f5.path != path:
+                    from ..io.slow5 import Slow5File
 
-                f5 = _W["slow5"] = Slow5File(path)
-            sig = f5.get(qname)
-        else:
-            from ..io.fast5 import read_fast5_signal
+                    f5 = _W["slow5"] = Slow5File(path)
+                sig = f5.get(qname)
+            else:
+                from ..io.fast5 import read_fast5_signal
 
-            sig = read_fast5_signal(path, read_id=qname)
+                sig = read_fast5_signal(path, read_id=qname)
     except (OSError, KeyError) as e:
         return qname, None
     if sig.nsample == 0:
@@ -883,14 +887,31 @@ class Pipeline:
                 wave_done([r for r in todo
                            if not r.status and r.b2e_start is not None])
 
+        n_load_workers = int(os.environ.get("F5C_TPU_POST_THREADS",
+                                            os.cpu_count() or 1))
         for w in waves:
             # ---- host: signal fetch + event detection + MoM ----
             t0 = time.time()
             todo = []
-            for i in w:
+            if n_load_workers > 1 and len(w) > 3:
+                # fetch is serialised by _W_FETCH_LOCK; the native
+                # detect/ranks/MoM (prep_read) is GIL-released and
+                # scales across host cores
+                from concurrent.futures import ThreadPoolExecutor
+                pool = getattr(self, "_post_pool", None)
+                if pool is None:
+                    pool = self._post_pool = ThreadPoolExecutor(
+                        max_workers=min(n_load_workers, 8))
+                loaded = list(pool.map(
+                    _worker_load,
+                    [(batch[i].qname, batch[i].signal_path,
+                      batch[i].seq, keep_raw) for i in w]))
+            else:
+                loaded = [
+                    _worker_load((batch[i].qname, batch[i].signal_path,
+                                  batch[i].seq, keep_raw)) for i in w]
+            for i, (qname, data) in zip(w, loaded):
                 r = batch[i]
-                qname, data = _worker_load(
-                    (r.qname, r.signal_path, r.seq, keep_raw))
                 if not self._populate_read(r, data):
                     continue
                 if r.n_events / len(r.seq) >= AVG_EVENTS_PER_KMER_MAX:
