@@ -433,6 +433,22 @@ class Pipeline:
         r.ranks = data.get("ranks")
         return True
 
+    def _host_pool(self, n_items: int):
+        """Shared thread pool for GIL-released native per-read work
+        (load prep, postalign, CpG collect), or None when one worker
+        (or a tiny item count) makes threading pointless.
+        F5C_TPU_POST_THREADS overrides the cpu_count default."""
+        n_workers = int(os.environ.get("F5C_TPU_POST_THREADS",
+                                       os.cpu_count() or 1))
+        if n_workers <= 1 or n_items <= 3:
+            return None
+        pool = getattr(self, "_post_pool", None)
+        if pool is None:
+            from concurrent.futures import ThreadPoolExecutor
+            pool = self._post_pool = ThreadPoolExecutor(
+                max_workers=min(n_workers, 8))
+        return pool
+
     # ---- device stages ---------------------------------------------------
     def _use_pallas(self) -> bool:
         if self.opt.device == "cpu":
@@ -848,19 +864,13 @@ class Pipeline:
                                        int(n[i]), int(start_e[i]),
                                        float(scale[i]), float(shift[i]))
 
-            n_workers = int(os.environ.get("F5C_TPU_POST_THREADS",
-                                           os.cpu_count() or 1))
-            if n_workers > 1 and len(todo) > 3:
-                # per-read postalign is independent and runs inside a
-                # single ctypes call (GIL released), so a thread pool
-                # scales it with host cores — keeps single-CPU host
-                # work from capping multi-chip speedup (f5c.cu's CPU
-                # pthread pool analogue)
-                from concurrent.futures import ThreadPoolExecutor
-                pool = getattr(self, "_post_pool", None)
-                if pool is None:
-                    pool = self._post_pool = ThreadPoolExecutor(
-                        max_workers=min(n_workers, 8))
+            # per-read postalign is independent and runs inside a
+            # single ctypes call (GIL released), so a thread pool
+            # scales it with host cores — keeps single-CPU host
+            # work from capping multi-chip speedup (f5c.cu's CPU
+            # pthread pool analogue)
+            pool = self._host_pool(len(todo))
+            if pool is not None:
                 list(pool.map(_post_one, range(len(todo)), todo))
             else:
                 for i, r in enumerate(todo):
@@ -887,21 +897,15 @@ class Pipeline:
                 wave_done([r for r in todo
                            if not r.status and r.b2e_start is not None])
 
-        n_load_workers = int(os.environ.get("F5C_TPU_POST_THREADS",
-                                            os.cpu_count() or 1))
         for w in waves:
             # ---- host: signal fetch + event detection + MoM ----
             t0 = time.time()
             todo = []
-            if n_load_workers > 1 and len(w) > 3:
+            pool = self._host_pool(len(w))
+            if pool is not None:
                 # fetch is serialised by _W_FETCH_LOCK; the native
                 # detect/ranks/MoM (prep_read) is GIL-released and
                 # scales across host cores
-                from concurrent.futures import ThreadPoolExecutor
-                pool = getattr(self, "_post_pool", None)
-                if pool is None:
-                    pool = self._post_pool = ThreadPoolExecutor(
-                        max_workers=min(n_load_workers, 8))
                 loaded = list(pool.map(
                     _worker_load,
                     [(batch[i].qname, batch[i].signal_path,
@@ -1535,14 +1539,8 @@ class Pipeline:
                 dis, r.pos, cig_ops, cig_lens, r.is_reverse, len(r.seq),
                 r.b2e_start, k)
 
-        n_workers = int(os.environ.get("F5C_TPU_POST_THREADS",
-                                       os.cpu_count() or 1))
-        if n_workers > 1 and len(reads) > 3:
-            from concurrent.futures import ThreadPoolExecutor
-            pool = getattr(self, "_post_pool", None)
-            if pool is None:
-                pool = self._post_pool = ThreadPoolExecutor(
-                    max_workers=min(n_workers, 8))
+        pool = self._host_pool(len(reads))
+        if pool is not None:
             results = list(pool.map(_collect, reads, refs))
         else:
             results = [_collect(r, ref) for r, ref in zip(reads, refs)]
