@@ -124,17 +124,24 @@ def test_two_process_dist_matches_single(dataset):
     _, err = p.communicate(timeout=900)
     assert p.returncode == 0, err[-3000:]
 
-    with socket.socket() as s:
-        s.bind(("127.0.0.1", 0))
-        port = s.getsockname()[1]
     merged = os.path.join(tmp, "dist.tsv")
-    dist = ["--dist", "--dist-coordinator", f"127.0.0.1:{port}",
-            "--dist-nprocs", "2", "-o", merged]
-    procs = [_cli(common + dist + ["--dist-rank", str(r)], env)
-             for r in range(2)]
-    errs = [p.communicate(timeout=900)[1] for p in procs]
-    for p, err in zip(procs, errs):
-        assert p.returncode == 0, err[-3000:]
+    # bind-then-release picks a free port, but another process can grab
+    # it in the window before the coordinator rebinds — retry once on a
+    # fresh port rather than flake
+    for attempt in range(2):
+        with socket.socket() as s:
+            s.bind(("127.0.0.1", 0))
+            port = s.getsockname()[1]
+        dist = ["--dist", "--dist-coordinator", f"127.0.0.1:{port}",
+                "--dist-nprocs", "2", "-o", merged]
+        procs = [_cli(common + dist + ["--dist-rank", str(r)], env)
+                 for r in range(2)]
+        errs = [p.communicate(timeout=900)[1] for p in procs]
+        if all(p.returncode == 0 for p in procs):
+            break
+        if attempt == 1:
+            for p, err in zip(procs, errs):
+                assert p.returncode == 0, err[-3000:]
 
     with open(single) as a, open(merged) as b:
         assert a.read() == b.read()
