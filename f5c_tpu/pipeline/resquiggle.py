@@ -79,24 +79,29 @@ def run_resquiggle(args, out=sys.stdout):
     def flush(batch):
         if not batch:
             return
-        t0 = time.time()
-        for r in batch:
-            qname, data = _worker_load((r.qname, r.signal_path, r.seq,
-                                        False))
-            if data is None:
-                pipe.counters["bad_signal"] += 1
-                r.status |= 0x2
-                continue
-            r.event_means = data["event_means"]
-            r.n_events = r.event_means.shape[0]
-            r.scaling = data["scaling"]
-            r.sample_rate = data["sample_rate"]
-            r.event_starts = data["event_starts"]
-            r.event_lengths = data["event_lengths"]
-            r.event_stdvs = data["event_stdvs"]
-            r.nsample = data["nsample"]
-        pipe.stage_time["events"] += time.time() - t0
-        pipe.align_batch(batch)
+        if pipe.supports_waves():
+            # wave pipeline: load/detect overlaps the device fills,
+            # same schedule as call-methylation (align only here)
+            pipe.align_batch_waved(batch)
+        else:
+            t0 = time.time()
+            for r in batch:
+                qname, data = _worker_load((r.qname, r.signal_path,
+                                            r.seq, False))
+                if data is None:
+                    pipe.counters["bad_signal"] += 1
+                    r.status |= 0x2
+                    continue
+                r.event_means = data["event_means"]
+                r.n_events = r.event_means.shape[0]
+                r.scaling = data["scaling"]
+                r.sample_rate = data["sample_rate"]
+                r.event_starts = data["event_starts"]
+                r.event_lengths = data["event_lengths"]
+                r.event_stdvs = data["event_stdvs"]
+                r.nsample = data["nsample"]
+            pipe.stage_time["events"] += time.time() - t0
+            pipe.align_batch(batch)
         t0 = time.time()
         for r in batch:
             if r.status:

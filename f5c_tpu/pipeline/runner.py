@@ -201,6 +201,10 @@ class Pipeline:
         self.opt = opt
         self.model = model
         self.cpg_model = cpg_model
+        self._model_kind = ("rna004_nucleotide" if opt.rna
+                            and opt.pore == "rna004"
+                            else "rna_r9_nucleotide" if opt.rna
+                            else "dna_r9_nucleotide")
         self.bam = None
         self.genome = None
         self.readdb = None
