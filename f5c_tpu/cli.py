@@ -133,6 +133,16 @@ def _out_fh(spec):
     return sys.stdout if spec in ("-", None) else open(spec, "w")
 
 
+def _dist_fail_note(dist_rank):
+    """A failed --dist rank must NOT merge partial parts; peers are
+    released when this process dies (the coordination service fails
+    their barrier on missing heartbeats / the 1 h timeout)."""
+    if dist_rank is not None:
+        print(f"[f5c-tpu] rank {dist_rank} failed before the output "
+              "barrier; part files are left unmerged and peer ranks "
+              "will error out of the barrier.", file=sys.stderr)
+
+
 def _maybe_profile(args):
     """jax profiler trace context for --profile-dir (the TPU analogue of
     the reference's per-stage/CUDA-kernel timers, meth_main.c:749-796)."""
@@ -235,6 +245,13 @@ def main(argv=None):
         if args.output in ("-", None):
             ap.error("--dist requires -o FILE (per-process part files "
                      "are merged into it)")
+        if (getattr(args, "print_events", False)
+                or getattr(args, "print_banded_aln", False)
+                or getattr(args, "print_scaling", False)):
+            # debug dumps carry no per-read merge markers, so the k-way
+            # part merge would drop or misplace them
+            ap.error("--dist is incompatible with --print-* debug "
+                     "dumps; run them single-process")
         from .parallel import distributed as dist_mod
 
         dist_rank, dist_nprocs = dist_mod.initialize(
@@ -264,8 +281,12 @@ def main(argv=None):
     if args.cmd == "call-methylation":
         pipe = _make_pipeline(args, meth_out_version=args.meth_out_version)
         out = _out_fh(args.output)
-        with _maybe_profile(args):
-            pipe.call_methylation(out=out)
+        try:
+            with _maybe_profile(args):
+                pipe.call_methylation(out=out)
+        except BaseException:
+            _dist_fail_note(dist_rank)
+            raise
         if dist_rank is not None:
             out.close()
             from .parallel import distributed as dist_mod
@@ -278,8 +299,12 @@ def main(argv=None):
 
         pipe = _make_pipeline(args)
         out = _out_fh(args.output)
-        with _maybe_profile(args):
-            run_eventalign(pipe, args, out=out)
+        try:
+            with _maybe_profile(args):
+                run_eventalign(pipe, args, out=out)
+        except BaseException:
+            _dist_fail_note(dist_rank)
+            raise
         if dist_rank is not None:
             out.close()
             from .parallel import distributed as dist_mod

@@ -64,7 +64,7 @@ def initialize(coordinator: str | None = None,
     return jax.process_index(), jax.process_count()
 
 
-def barrier(name: str, timeout_ms: int = 24 * 3600 * 1000) -> None:
+def barrier(name: str, timeout_ms: int = 3600 * 1000) -> None:
     """Block until every process reaches ``name``."""
     from jax._src import distributed
 

@@ -207,6 +207,13 @@ def _get_end_pair(ref_pos: np.ndarray, ref_pos_max: int,
     return j - 1
 
 
+def _dist_marker() -> str:
+    """Shared --dist merge-marker prefix (parallel/distributed.MARKER);
+    writers and the k-way part merge must agree on the literal."""
+    from ..parallel.distributed import MARKER
+    return MARKER
+
+
 _PROBE = {}
 
 
@@ -373,9 +380,17 @@ class EventalignEngine:
             if not st.start_segment(k):
                 st.done = True
             states.append(st)
-        if self.host_round_max is None:
-            self.host_round_max = self._probed_round_max()
         engine = self.engine
+        if self.host_round_max is None:
+            if engine in ("auto", "python"):
+                # only these engines consult the host/device crossover,
+                # so only they pay the device dispatch-latency probe
+                # (an explicit engine=native must not touch the device)
+                self.host_round_max = self._probed_round_max()
+            else:
+                # native: never reaches rounds; device: every round
+                # must actually run on the device (engine semantics)
+                self.host_round_max = 0
         if engine == "auto":
             # a lockstep round scores ~len(reads) chunks in one device
             # trip; the device engine wins when the host would spend
@@ -1007,14 +1022,14 @@ def run_eventalign(pipe, args, out=sys.stdout):
             if summary_fp is not None and recs.ref_position.shape[0] > 0:
                 s = summarize_alignment(recs, r, r.nm)
                 if dist:
-                    summary_fp.write(f"#f5c-dist\t{r.read_idx}\n")
+                    summary_fp.write(f"{_dist_marker()}{r.read_idx}\n")
                 summary_fp.write(summary_line(
                     r.read_idx, r.qname, r.signal_path, rna, s,
                     r.sample_rate, r.scaling))
             if recs.ref_position.shape[0] == 0:
                 continue
             if dist:
-                sink.write(f"#f5c-dist\t{r.read_idx}\n")
+                sink.write(f"{_dist_marker()}{r.read_idx}\n")
             if paf:
                 sink.write(emit_paf(recs, r, contig, ref_len,
                                     pipe.model.k, rna))

@@ -123,11 +123,15 @@ _W_FETCH_LOCK = __import__("threading").Lock()
 def _worker_init(model_kind: str, model_path: str | None, rna: bool):
     from ..models import builtin_model, load_model_file
 
+    key = (model_kind, model_path)
+    _W["rna"] = rna
+    if _W.get("model_key") == key:
+        return      # per-batch re-init must not re-parse the model file
     if model_path:
         _W["model"] = load_model_file(model_path)
     else:
         _W["model"] = builtin_model(model_kind)
-    _W["rna"] = rna
+    _W["model_key"] = key
 
 
 def _worker_load(args):
@@ -596,7 +600,11 @@ class Pipeline:
             return
         todo.sort(key=lambda r: r.n_events)
         if native.available():
-            ranks = {id(r): native.kmer_ranks(r.seq, self.model.k)
+            # prep_read already computed ranks during load; recompute
+            # only for reads that came through a fallback loader
+            ranks = {id(r): (r.ranks if getattr(r, "ranks", None)
+                             is not None
+                             else native.kmer_ranks(r.seq, self.model.k))
                      for r in todo}
         else:
             ranks = {id(r): self.model.kmer_ranks(r.seq).astype(np.int32)
@@ -702,6 +710,26 @@ class Pipeline:
             groups.append(pending)
 
         # ---- dispatch every bucket without waiting ----
+        # split any group whose padded device trace would exceed the
+        # budget (B_pad * n_bands * 128 lanes * 4B) — the per-launch cap
+        # the sub-batch path enforces (align_batch, TRACE_BYTES_BUDGET)
+        capped: list[list[int]] = []
+        for g_idx in groups:
+            E = _bucket(max(todo[i].n_events for i in g_idx),
+                        minimum=2048)
+            K = _bucket(int(max(rk_len_all[i] for i in g_idx)),
+                        minimum=1024)
+            nb = ((E + K + 2 + CHUNK - 1) // CHUNK) * CHUNK
+            per_read = nb * 128 * 4
+            max_reads = max((self.TRACE_BYTES_BUDGET // per_read)
+                            // RSTEP * RSTEP, RSTEP)
+            if len(g_idx) > max_reads:
+                self._trace_budget_splits += 1
+                capped.extend(g_idx[j:j + max_reads]
+                              for j in range(0, len(g_idx), max_reads))
+            else:
+                capped.append(g_idx)
+        groups = capped
         launches = []
         for g_idx in groups:
             g = [todo[i] for i in g_idx]
@@ -989,47 +1017,66 @@ class Pipeline:
             pool_pos += slab.shape[0]
 
             # ---- dispatch this wave's fill+walk (no waiting) ----
-            E = _bucket(max(r.n_events for r in todo), minimum=2048)
-            K = _bucket(int(rk_len.max()), minimum=1024)
-            nb = ((E + K + 2 + CHUNK - 1) // CHUNK) * CHUNK
-            meta = self._abea_group_meta(todo, ev_off, ev_len, rk_off,
-                                         rk_len, pad_to=RSTEP)
-            (ev_off_p, ev_len_p, rk_off_p, rk_len_p, scale, shift,
-             lp_stay, lp_step, lp_skip, lp_trim) = meta
-            byte_cap = (ev_len_p.astype(np.int64)
-                        + rk_len_p.astype(np.int64) + 3) // 4
-            off = np.zeros(len(byte_cap) + 1, np.int32)
-            np.cumsum(byte_cap, out=off[1:])
-            cap = _bucket(int(off[-1]), minimum=4096)
-            t_disp = time.time()
-            out = abea_align_device_ring(
-                slab_dev, jnp.asarray(ev_off_p), jnp.asarray(ev_len_p),
-                rk_slab_dev, jnp.asarray(rk_off_p),
-                jnp.asarray(rk_len_p), lm, ls, ll,
-                jnp.asarray(scale), jnp.asarray(shift),
-                jnp.asarray(lp_stay), jnp.asarray(lp_step),
-                jnp.asarray(lp_skip), jnp.asarray(lp_trim),
-                jnp.asarray(off),
-                E=E, K=K, n_bands=nb, max_pairs=E + K, cap=cap,
-                interpret=interpret)
-            for a in out:
-                try:
-                    a.copy_to_host_async()
-                except AttributeError:
-                    break
-            self.stage_detail["align.dispatch_enqueue"] += (time.time()
-                                                            - t_disp)
-            self.stage_detail["align.n_dispatch"] += 1
-            # useful DP work dispatched (absolute roofline metric:
-            # band cells = (n_events + n_kmers + 2) bands x 128 lanes)
-            self.stage_detail["align.band_cells"] += float(sum(
-                (r.n_events + len(r.seq) - self.model.k + 3) * 128
-                for r in todo))
-            self.stage_detail["align.n_events"] += float(
-                sum(r.n_events for r in todo))
-            launches.append((todo, ranks, off, scale, shift, slab_dev,
-                             {id(r): int(o)
-                              for r, o in zip(todo, ev_off)}, out))
+            # a wave normally fits one launch; split when the padded
+            # trace (B_pad x n_bands x 128 lanes x 4B) would bust the
+            # device budget (large F5C_TPU_WAVE x near-cap reads)
+            slab_off_map = {id(r): int(o) for r, o in zip(todo, ev_off)}
+            i0 = 0
+            while i0 < len(todo):
+                j = len(todo)
+                while True:
+                    part = todo[i0:j]
+                    E = _bucket(max(r.n_events for r in part),
+                                minimum=2048)
+                    K = _bucket(int(rk_len[i0:j].max()), minimum=1024)
+                    nb = ((E + K + 2 + CHUNK - 1) // CHUNK) * CHUNK
+                    b_pad = _bucket(len(part), minimum=RSTEP)
+                    if (b_pad * nb * 128 * 4 <= self.TRACE_BYTES_BUDGET
+                            or len(part) <= RSTEP):
+                        break
+                    self._trace_budget_splits += 1
+                    j = i0 + max((len(part) // 2) // RSTEP * RSTEP,
+                                 RSTEP)
+                meta = self._abea_group_meta(part, ev_off[i0:j],
+                                             ev_len[i0:j], rk_off[i0:j],
+                                             rk_len[i0:j], pad_to=RSTEP)
+                (ev_off_p, ev_len_p, rk_off_p, rk_len_p, scale, shift,
+                 lp_stay, lp_step, lp_skip, lp_trim) = meta
+                byte_cap = (ev_len_p.astype(np.int64)
+                            + rk_len_p.astype(np.int64) + 3) // 4
+                off = np.zeros(len(byte_cap) + 1, np.int32)
+                np.cumsum(byte_cap, out=off[1:])
+                cap = _bucket(int(off[-1]), minimum=4096)
+                t_disp = time.time()
+                out = abea_align_device_ring(
+                    slab_dev, jnp.asarray(ev_off_p),
+                    jnp.asarray(ev_len_p),
+                    rk_slab_dev, jnp.asarray(rk_off_p),
+                    jnp.asarray(rk_len_p), lm, ls, ll,
+                    jnp.asarray(scale), jnp.asarray(shift),
+                    jnp.asarray(lp_stay), jnp.asarray(lp_step),
+                    jnp.asarray(lp_skip), jnp.asarray(lp_trim),
+                    jnp.asarray(off),
+                    E=E, K=K, n_bands=nb, max_pairs=E + K, cap=cap,
+                    interpret=interpret)
+                for a in out:
+                    try:
+                        a.copy_to_host_async()
+                    except AttributeError:
+                        break
+                self.stage_detail["align.dispatch_enqueue"] += (
+                    time.time() - t_disp)
+                self.stage_detail["align.n_dispatch"] += 1
+                # useful DP work dispatched (absolute roofline metric:
+                # band cells = (n_events + n_kmers + 2) bands x 128)
+                self.stage_detail["align.band_cells"] += float(sum(
+                    (r.n_events + len(r.seq) - self.model.k + 3) * 128
+                    for r in part))
+                self.stage_detail["align.n_events"] += float(
+                    sum(r.n_events for r in part))
+                launches.append((part, ranks, off, scale, shift,
+                                 slab_dev, slab_off_map, out))
+                i0 = j
             self.stage_time["align"] += time.time() - t0
 
             # keep at most 2 launches in flight: decoding the oldest here
@@ -1916,7 +1963,8 @@ class Pipeline:
                         continue
                     contig = self.bam.references[r.tid]
                     if opt.dist_markers:
-                        writer.write(f"#f5c-dist\t{r.read_idx}\n")
+                        from ..parallel.distributed import MARKER
+                        writer.write(f"{MARKER}{r.read_idx}\n")
                     writer.write_lazy(functools.partial(
                         _render_meth_rows, contig, r.qname, r.is_reverse,
                         site_map, opt.meth_out_version,
