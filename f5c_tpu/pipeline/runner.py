@@ -653,12 +653,10 @@ class Pipeline:
     # groups are padded to a multiple of R (see CLAUDE.md)
     def _align_bucketed_async(self, todo: list[ReadRecord], ranks: dict):
         """Length-bucketed multi-launch ring ABEA with deferred sync."""
-        import jax
         import jax.numpy as jnp
 
         from ..ops.abea import CHUNK
         from ..ops.abea_ring import R as RSTEP
-        from ..ops.abea_ring import abea_align_device_ring
 
         t0 = time.time()
         # ---- batch-wide pools, ONE async H2D ----
@@ -733,38 +731,12 @@ class Pipeline:
         launches = []
         for g_idx in groups:
             g = [todo[i] for i in g_idx]
-            E = _bucket(max(r.n_events for r in g), minimum=2048)
-            K = _bucket(max(rk_len_all[i] for i in g_idx), minimum=1024)
-            n_bands = E + K + 2
-            nb = ((n_bands + CHUNK - 1) // CHUNK) * CHUNK
-            meta = self._abea_group_meta(
-                g, ev_off_all[g_idx], ev_len_all[g_idx],
-                rk_off_all[g_idx], rk_len_all[g_idx], pad_to=RSTEP)
-            (ev_off, ev_len, rk_off, rk_len, scale, shift, lp_stay,
-             lp_step, lp_skip, lp_trim) = meta
-            byte_cap = (ev_len.astype(np.int64)
-                        + rk_len.astype(np.int64) + 3) // 4
-            off = np.zeros(len(byte_cap) + 1, np.int32)
-            np.cumsum(byte_cap, out=off[1:])
-            cap = _bucket(int(off[-1]), minimum=4096)
-            out = abea_align_device_ring(
-                ev_pool_dev, jnp.asarray(ev_off), jnp.asarray(ev_len),
-                rk_pool_dev, jnp.asarray(rk_off), jnp.asarray(rk_len),
-                lm, ls, ll, jnp.asarray(scale), jnp.asarray(shift),
-                jnp.asarray(lp_stay), jnp.asarray(lp_step),
-                jnp.asarray(lp_skip), jnp.asarray(lp_trim),
-                jnp.asarray(off),
-                E=E, K=K, n_bands=nb, max_pairs=E + K, cap=cap,
-                interpret=self._interpret_kernels())
+            off, scale, shift, out = self._dispatch_ring(
+                ev_pool_dev, rk_pool_dev, g,
+                ev_off_all[g_idx], ev_len_all[g_idx],
+                rk_off_all[g_idx], rk_len_all[g_idx], (lm, ls, ll),
+                self._interpret_kernels())
             launches.append((g, off, scale, shift, out))
-        # start every D2H as soon as its launch finishes (the sync loop
-        # below then finds most transfers already in flight or done)
-        for *_, out in launches:
-            for a in out:
-                try:
-                    a.copy_to_host_async()
-                except AttributeError:
-                    break
         self.stage_time["align"] += time.time() - t0
 
         # ---- sync in order; host decode overlaps later fills ----
@@ -784,6 +756,59 @@ class Pipeline:
                                        int(n[i]), int(start_e[i]),
                                        float(scale[i]), float(shift[i]))
             self.stage_time["scaling"] += time.time() - t0
+
+    def _dispatch_ring(self, ev_pool_dev, rk_pool_dev, group,
+                       ev_off, ev_len, rk_off, rk_len, tables,
+                       interpret):
+        """One padded ring-ABEA launch for ``group`` against
+        device-resident event/rank pools (shared by the wave and
+        bucketed-async schedules).  Returns (walk_off, scale, shift,
+        device_out); the compact walk D2H is started asynchronously."""
+        import jax.numpy as jnp
+
+        from ..ops.abea import CHUNK
+        from ..ops.abea_ring import R as RSTEP
+        from ..ops.abea_ring import abea_align_device_ring
+
+        lm, ls, ll = tables
+        E = _bucket(max(r.n_events for r in group), minimum=2048)
+        K = _bucket(int(np.max(rk_len)), minimum=1024)
+        nb = ((E + K + 2 + CHUNK - 1) // CHUNK) * CHUNK
+        meta = self._abea_group_meta(group, ev_off, ev_len, rk_off,
+                                     rk_len, pad_to=RSTEP)
+        (ev_off_p, ev_len_p, rk_off_p, rk_len_p, scale, shift,
+         lp_stay, lp_step, lp_skip, lp_trim) = meta
+        byte_cap = (ev_len_p.astype(np.int64)
+                    + rk_len_p.astype(np.int64) + 3) // 4
+        off = np.zeros(len(byte_cap) + 1, np.int32)
+        np.cumsum(byte_cap, out=off[1:])
+        cap = _bucket(int(off[-1]), minimum=4096)
+        t_disp = time.time()
+        out = abea_align_device_ring(
+            ev_pool_dev, jnp.asarray(ev_off_p), jnp.asarray(ev_len_p),
+            rk_pool_dev, jnp.asarray(rk_off_p), jnp.asarray(rk_len_p),
+            lm, ls, ll, jnp.asarray(scale), jnp.asarray(shift),
+            jnp.asarray(lp_stay), jnp.asarray(lp_step),
+            jnp.asarray(lp_skip), jnp.asarray(lp_trim),
+            jnp.asarray(off),
+            E=E, K=K, n_bands=nb, max_pairs=E + K, cap=cap,
+            interpret=interpret)
+        for a in out:
+            try:
+                a.copy_to_host_async()
+            except AttributeError:
+                break
+        self.stage_detail["align.dispatch_enqueue"] += (time.time()
+                                                        - t_disp)
+        self.stage_detail["align.n_dispatch"] += 1
+        # useful DP work dispatched (absolute roofline metric:
+        # band cells = (n_events + n_kmers + 2) bands x 128 lanes)
+        self.stage_detail["align.band_cells"] += float(sum(
+            (r.n_events + len(r.seq) - self.model.k + 3) * 128
+            for r in group))
+        self.stage_detail["align.n_events"] += float(
+            sum(r.n_events for r in group))
+        return off, scale, shift, out
 
     def _abea_group_meta(self, g: list, ev_off, ev_len, rk_off, rk_len,
                          pad_to: int):
@@ -844,7 +869,6 @@ class Pipeline:
         from .. import native
         from ..ops.abea import CHUNK
         from ..ops.abea_ring import R as RSTEP
-        from ..ops.abea_ring import abea_align_device_ring
 
         _worker_init(self._model_kind, self.opt.kmer_model_path,
                      self.opt.rna)
@@ -1037,43 +1061,10 @@ class Pipeline:
                     self._trace_budget_splits += 1
                     j = i0 + max((len(part) // 2) // RSTEP * RSTEP,
                                  RSTEP)
-                meta = self._abea_group_meta(part, ev_off[i0:j],
-                                             ev_len[i0:j], rk_off[i0:j],
-                                             rk_len[i0:j], pad_to=RSTEP)
-                (ev_off_p, ev_len_p, rk_off_p, rk_len_p, scale, shift,
-                 lp_stay, lp_step, lp_skip, lp_trim) = meta
-                byte_cap = (ev_len_p.astype(np.int64)
-                            + rk_len_p.astype(np.int64) + 3) // 4
-                off = np.zeros(len(byte_cap) + 1, np.int32)
-                np.cumsum(byte_cap, out=off[1:])
-                cap = _bucket(int(off[-1]), minimum=4096)
-                t_disp = time.time()
-                out = abea_align_device_ring(
-                    slab_dev, jnp.asarray(ev_off_p),
-                    jnp.asarray(ev_len_p),
-                    rk_slab_dev, jnp.asarray(rk_off_p),
-                    jnp.asarray(rk_len_p), lm, ls, ll,
-                    jnp.asarray(scale), jnp.asarray(shift),
-                    jnp.asarray(lp_stay), jnp.asarray(lp_step),
-                    jnp.asarray(lp_skip), jnp.asarray(lp_trim),
-                    jnp.asarray(off),
-                    E=E, K=K, n_bands=nb, max_pairs=E + K, cap=cap,
-                    interpret=interpret)
-                for a in out:
-                    try:
-                        a.copy_to_host_async()
-                    except AttributeError:
-                        break
-                self.stage_detail["align.dispatch_enqueue"] += (
-                    time.time() - t_disp)
-                self.stage_detail["align.n_dispatch"] += 1
-                # useful DP work dispatched (absolute roofline metric:
-                # band cells = (n_events + n_kmers + 2) bands x 128)
-                self.stage_detail["align.band_cells"] += float(sum(
-                    (r.n_events + len(r.seq) - self.model.k + 3) * 128
-                    for r in part))
-                self.stage_detail["align.n_events"] += float(
-                    sum(r.n_events for r in part))
+                off, scale, shift, out = self._dispatch_ring(
+                    slab_dev, rk_slab_dev, part,
+                    ev_off[i0:j], ev_len[i0:j], rk_off[i0:j],
+                    rk_len[i0:j], (lm, ls, ll), interpret)
                 launches.append((part, ranks, off, scale, shift,
                                  slab_dev, slab_off_map, out))
                 i0 = j
