@@ -48,6 +48,11 @@ def _add_common_meth_args(p):
                    help="min events to attempt recalibration")
     p.add_argument("--device", choices=["auto", "cpu"], default="auto",
                    help="'cpu' forces JAX onto host CPU")
+    p.add_argument("--events-engine", choices=["auto", "host", "device"],
+                   default="auto",
+                   help="event-detection engine: host C++ or the batched "
+                        "on-device detector; auto picks by the measured "
+                        "dispatch latency (BENCH.md)")
     p.add_argument("-o", "--output", default="-", help="output file")
     p.add_argument("--shard", default=None, metavar="I/N",
                    help="process only reads with read_idx %% N == I "
@@ -103,6 +108,7 @@ def _make_pipeline(args, meth_out_version=2):
         device=args.device,
         slow5_path=getattr(args, "slow5", None),
         verbose=args.verbose,
+        events_engine=getattr(args, "events_engine", "auto"),
     )
     if getattr(args, "profile", None):
         from .profiles import apply_profile

@@ -60,6 +60,11 @@ class Options:
     meth_model_path: str | None = None
     min_num_events_to_rescale: int = 200
     device: str = "auto"     # "auto" | "cpu" — jax platform hint
+    # event-detection engine: "host" (native C++, events.c path),
+    # "device" (batched JAX detector, ops/events_device.py), or "auto"
+    # — measured: device when the dispatch probe says the chip is
+    # attached (<5 ms/round-trip), host on slow tunnels (BENCH.md)
+    events_engine: str = "auto"
     verbose: int = 0
     slow5_path: str | None = None   # SLOW5/BLOW5 signal file (over readdb)
     region_str: str | None = None   # -w chr:start-end or .bed file
@@ -134,11 +139,9 @@ def _worker_init(model_kind: str, model_path: str | None, rna: bool):
     _W["model_key"] = key
 
 
-def _worker_load(args):
-    """signal fetch + pA + events + MoM for one read (events.c path)."""
-    qname, path, seq, keep_raw = args
-    model = _W["model"]
-    rna = _W["rna"]
+def _fetch_signal(qname: str, path: str):
+    """Raw signal fetch for one read (shared reader, lock-guarded);
+    returns the signal record or None on a bad/unreadable record."""
     try:
         with _W_FETCH_LOCK:
             if path.endswith(".blow5") or path.endswith(".slow5"):
@@ -152,9 +155,28 @@ def _worker_load(args):
                 from ..io.fast5 import read_fast5_signal
 
                 sig = read_fast5_signal(path, read_id=qname)
-    except (OSError, KeyError) as e:
+    except (OSError, KeyError):
+        return None
+    return sig if sig.nsample else None
+
+
+def _worker_fetch(args):
+    """signal fetch + pA only — the load stage of the DEVICE events
+    engine, where detection runs batched on the accelerator."""
+    qname, path = args
+    sig = _fetch_signal(qname, path)
+    if sig is None:
         return qname, None
-    if sig.nsample == 0:
+    return qname, (sig.to_pa(), sig.nsample, sig.sample_rate)
+
+
+def _worker_load(args):
+    """signal fetch + pA + events + MoM for one read (events.c path)."""
+    qname, path, seq, keep_raw = args
+    model = _W["model"]
+    rna = _W["rna"]
+    sig = _fetch_signal(qname, path)
+    if sig is None:
         return qname, None
     from .. import native
     ranks = None
@@ -456,6 +478,91 @@ class Pipeline:
             pool = self._post_pool = ThreadPoolExecutor(
                 max_workers=min(n_workers, 8))
         return pool
+
+    def _events_engine(self) -> str:
+        """Resolve the event-detection engine (VERDICT r2 item 2).
+
+        "auto" picks by measurement, not configuration: the batched
+        device detector (ops/events_device.py) wins when the chip is
+        attached (sub-ms dispatch; event tables come back over a fast
+        link), while on a slow tunnel the host C++ detector wins —
+        event means must return to the host either way for MoM/
+        recalibration bit-parity and emission (src/f5c.c:691-745), so
+        the D2H cost is the deciding term.  The same probe drives the
+        eventalign engine crossover (pipeline/eventalign.py)."""
+        cached = getattr(self, "_events_engine_cached", None)
+        if cached is not None:
+            return cached
+        eng = (getattr(self.opt, "events_engine", None)
+               or os.environ.get("F5C_TPU_EVENTS_ENGINE", "auto"))
+        if eng == "auto":
+            eng = os.environ.get("F5C_TPU_EVENTS_ENGINE", "auto")
+        if eng not in ("host", "device"):
+            if not self._use_pallas():
+                eng = "host"          # CPU runs: native detect is faster
+            else:
+                import jax
+
+                if jax.default_backend() == "cpu":
+                    eng = "host"
+                else:
+                    from .eventalign import measured_dispatch_overhead
+
+                    eng = ("device"
+                           if measured_dispatch_overhead() < 5e-3
+                           else "host")
+        from .. import native
+        if eng == "host" and not native.available():
+            # without the native library the batched device op beats
+            # the NumPy oracle even over a tunnel
+            eng = "device" if self._use_pallas() else "host"
+        self._events_engine_cached = eng
+        return eng
+
+    def _load_wave_device(self, w, batch, keep_raw: bool):
+        """Load stage of the DEVICE events engine: fetch raw signals,
+        run the batched on-device detector, then per-read ranks + MoM
+        on the host (they are inputs to the host-side QC/recalibration
+        path either way).  Returns (qname, data) pairs shaped exactly
+        like _worker_load's output."""
+        from .. import native
+        from ..ops.events_device import detect_events_batch
+
+        rna = self.opt.rna
+        model = self.model
+        args = [(batch[i].qname, batch[i].signal_path) for i in w]
+        pool = self._host_pool(len(w))
+        fetched = list(pool.map(_worker_fetch, args) if pool is not None
+                       else map(_worker_fetch, args))
+        live = [j for j, (_, f) in enumerate(fetched) if f is not None]
+        results = [None] * len(fetched)
+        if live:
+            tables = detect_events_batch(
+                [fetched[j][1][0] for j in live], rna=rna,
+                eager=self._interpret_kernels())
+            for j, (st, ln, mn, sd) in zip(live, tables):
+                pa, nsample, rate = fetched[j][1]
+                seq = batch[w[j]].seq
+                if native.available():
+                    ranks = native.kmer_ranks(seq, model.k)
+                    sc = native.mom_scalings(mn, ranks, model.level_mean)
+                else:
+                    from ..ops.abea_ref import (
+                        estimate_scalings_using_mom)
+
+                    ranks = None
+                    sc = estimate_scalings_using_mom(seq, model, mn)
+                if rna:
+                    # events reversed to 3'->5' after MoM (f5c.c:711-721)
+                    st, ln = st[::-1].copy(), ln[::-1].copy()
+                    mn, sd = mn[::-1].copy(), sd[::-1].copy()
+                results[j] = dict(
+                    event_means=mn, scaling=sc, sample_rate=rate,
+                    event_starts=st, event_lengths=ln, event_stdvs=sd,
+                    nsample=nsample, ranks=ranks,
+                    raw_pa=pa if keep_raw else None)
+        return [(qname, results[j])
+                for j, (qname, _) in enumerate(fetched)]
 
     # ---- device stages ---------------------------------------------------
     def _use_pallas(self) -> bool:
@@ -953,23 +1060,31 @@ class Pipeline:
                 wave_done([r for r in todo
                            if not r.status and r.b2e_start is not None])
 
+        events_engine = self._events_engine()
         for w in waves:
-            # ---- host: signal fetch + event detection + MoM ----
+            # ---- load: signal fetch + event detection + MoM ----
             t0 = time.time()
             todo = []
-            pool = self._host_pool(len(w))
-            if pool is not None:
-                # fetch is serialised by _W_FETCH_LOCK; the native
-                # detect/ranks/MoM (prep_read) is GIL-released and
-                # scales across host cores
-                loaded = list(pool.map(
-                    _worker_load,
-                    [(batch[i].qname, batch[i].signal_path,
-                      batch[i].seq, keep_raw) for i in w]))
+            if events_engine == "device":
+                # batched on-device detector (ops/events_device.py);
+                # host keeps only fetch + ranks + MoM
+                loaded = self._load_wave_device(w, batch, keep_raw)
             else:
-                loaded = [
-                    _worker_load((batch[i].qname, batch[i].signal_path,
-                                  batch[i].seq, keep_raw)) for i in w]
+                pool = self._host_pool(len(w))
+                if pool is not None:
+                    # fetch is serialised by _W_FETCH_LOCK; the native
+                    # detect/ranks/MoM (prep_read) is GIL-released and
+                    # scales across host cores
+                    loaded = list(pool.map(
+                        _worker_load,
+                        [(batch[i].qname, batch[i].signal_path,
+                          batch[i].seq, keep_raw) for i in w]))
+                else:
+                    loaded = [
+                        _worker_load((batch[i].qname,
+                                      batch[i].signal_path,
+                                      batch[i].seq, keep_raw))
+                        for i in w]
             for i, (qname, data) in zip(w, loaded):
                 r = batch[i]
                 if not self._populate_read(r, data):
