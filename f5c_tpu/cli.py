@@ -77,6 +77,19 @@ def _add_common_meth_args(p):
                    help="dump the event table (debug oracle)")
     p.add_argument("--print-banded-aln", action="store_true",
                    help="dump ABEA aligned pairs (debug oracle)")
+    p.add_argument("--print-raw", action="store_true",
+                   help="print the raw ADC signal of each read at load "
+                        "(debug; forces single-process BAM-ordered loads)")
+    p.add_argument("--skip-unreadable", choices=["yes", "no"],
+                   default="yes",
+                   help="skip unreadable signal records with a counter "
+                        "(yes) or abort (no)")
+    p.add_argument("--debug-break", type=int, default=-1, metavar="N",
+                   help="stop after processing N batches (debug)")
+    p.add_argument("--profile-cpu", choices=["yes", "no"], default="no",
+                   help="print the per-component stage breakdown at exit "
+                        "(stage timing is always on; this adds "
+                        "host/transfer/dispatch detail)")
     p.add_argument("--print-scaling", action="store_true",
                    help="dump calibrated scalings (debug oracle)")
     p.add_argument("--verbose", type=int, default=0)
@@ -123,6 +136,10 @@ def _make_pipeline(args, meth_out_version=2):
         opt.num_proc = args.threads
     opt.region_str = getattr(args, "window", None)
     opt.print_events = getattr(args, "print_events", False)
+    opt.print_raw = getattr(args, "print_raw", False)
+    opt.skip_unreadable = getattr(args, "skip_unreadable", "yes") != "no"
+    opt.debug_break = getattr(args, "debug_break", -1)
+    opt.profile_detail = getattr(args, "profile_cpu", "no") == "yes"
     opt.print_banded_aln = getattr(args, "print_banded_aln", False)
     opt.print_scaling = getattr(args, "print_scaling", False)
     shard = getattr(args, "shard", None)

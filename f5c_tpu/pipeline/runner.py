@@ -73,6 +73,15 @@ class Options:
     print_events: bool = False      # stage-level debug dumps (f5c.c:974)
     print_banded_aln: bool = False  # (f5c.c:989)
     print_scaling: bool = False     # (f5c.c:1008)
+    print_raw: bool = False         # raw ADC dump at load (f5cio.c:380)
+    # unreadable signal records: skip-and-count (default) or abort,
+    # mirroring F5C_SKIP_UNREADABLE (f5cio.c:308-318, 435-447)
+    skip_unreadable: bool = True
+    # stop after N batches (reference --debug-break, meth_main.c:640)
+    debug_break: int = -1
+    # print the stage_detail breakdown at exit (reference --profile-cpu
+    # forces staged timing, f5c.c:911; our pipeline is always staged)
+    profile_detail: bool = False
     # multi-host data parallelism: this process handles BAM records with
     # read_idx % shard_count == shard_index; outputs merge
     # deterministically by read index (SURVEY §2.7 / parallel/mesh.py)
@@ -178,6 +187,13 @@ def _worker_load(args):
     sig = _fetch_signal(qname, path)
     if sig is None:
         return qname, None
+    if _W.get("print_raw"):
+        # reference format: ">qname\tPATH:path\tLN:n" + int samples
+        # (f5cio.c:380-388); only the inline single-process loader sets
+        # this flag, so prints stay in BAM order
+        sys.stdout.write(f">{qname}\tPATH:{path}\tLN:{sig.nsample}\n")
+        sys.stdout.write("\t".join(
+            str(int(v)) for v in np.asarray(sig.raw)) + "\t\n")
     from .. import native
     ranks = None
     if (native.available() and sig.raw.dtype == np.int16
@@ -345,10 +361,18 @@ class Pipeline:
         opt = self.opt
         import multiprocessing as mp
 
-        if not load or opt.num_proc <= 1:
+        if not load or opt.num_proc <= 1 or opt.print_raw:
             # single host core: run loads inline, no IPC overhead
             _worker_init(self._model_kind, opt.kmer_model_path, opt.rna)
             pool = None
+            if opt.print_raw and opt.num_proc > 1:
+                # mirror the reference, which refuses --print-raw with
+                # --iop (f5c.c:557-560): keep prints ordered
+                sys.stderr.write("[f5c-tpu] --print-raw forces "
+                                 "single-process loading\n")
+            # set (or clear, for later pipelines in this process) the
+            # module-level flag the inline loader consults
+            _W["print_raw"] = bool(opt.print_raw and load)
         else:
             # spawn: forking a process with a live TPU client is unsafe
             pool = ProcessPoolExecutor(
@@ -412,6 +436,10 @@ class Pipeline:
                     yield (self._load_batch(pool, batch, keep_raw)
                            if load else batch)
                     batch, bases = [], 0
+                    if self._n_batches == opt.debug_break:
+                        # reference --debug-break: stop after N batches
+                        # (meth_main.c:640)
+                        return
             if batch:
                 if opt.verbose >= 1:
                     sys.stderr.write(
@@ -449,6 +477,14 @@ class Pipeline:
     def _populate_read(self, r: ReadRecord, data) -> bool:
         if data is None:
             self.counters["bad_signal"] += 1
+            if not self.opt.skip_unreadable:
+                # --skip-unreadable=no aborts like the reference
+                # (f5cio.c:313-316, 441-444)
+                sys.stderr.write(
+                    f"[f5c-tpu] ERROR: signal record for read "
+                    f"[{r.qname}] ({r.signal_path}) is unavailable/"
+                    f"unreadable\n")
+                raise SystemExit(1)
             r.status |= FAILED_ALIGNMENT
             return False
         r.event_means = data["event_means"]
@@ -952,7 +988,11 @@ class Pipeline:
 
         return (native.available() and self._use_pallas()
                 and os.environ.get("F5C_TPU_FILL", "ring") == "ring"
-                and not self._mesh_devices())
+                and not self._mesh_devices()
+                # --print-raw dumps signals in BAM order at load time;
+                # the wave schedule loads in length-sorted order, so
+                # debug runs take the plain loader (debug != perf)
+                and not self.opt.print_raw)
 
     def align_batch_waved(self, batch: list[ReadRecord],
                           keep_raw: bool = False,
@@ -2104,6 +2144,12 @@ class Pipeline:
         st = self.stage_time
         f.write("[f5c-tpu] stage seconds: "
                 + " ".join(f"{k}={v:.2f}" for k, v in st.items()) + "\n")
+        if self.opt.profile_detail and self.stage_detail:
+            # --profile-cpu=yes analogue: per-component breakdown
+            # (host compute vs transfer bytes vs dispatch counts)
+            f.write("[f5c-tpu] stage detail: " + " ".join(
+                f"{k}={v:.3f}" if isinstance(v, float) else f"{k}={v}"
+                for k, v in sorted(self.stage_detail.items())) + "\n")
         # perf advisors (the reference's load/memory balancers print
         # actionable -K/-B/--cuda-* hints after repeated imbalance,
         # f5c.cu:457-644; the TPU analogues are dispatch amortisation
