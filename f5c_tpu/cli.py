@@ -84,6 +84,12 @@ def _add_common_meth_args(p):
                    default="yes",
                    help="skip unreadable signal records with a counter "
                         "(yes) or abort (no)")
+    p.add_argument("--write-dump", default=None, metavar="FILE",
+                   help="cache raw signals to FILE while loading "
+                        "(reference binary dump format)")
+    p.add_argument("--read-dump", default=None, metavar="FILE",
+                   help="load raw signals from a --write-dump cache "
+                        "instead of FAST5/SLOW5 (same BAM + filters)")
     p.add_argument("--debug-break", type=int, default=-1, metavar="N",
                    help="stop after processing N batches (debug)")
     p.add_argument("--profile-cpu", choices=["yes", "no"], default="no",
@@ -139,6 +145,8 @@ def _make_pipeline(args, meth_out_version=2):
     opt.print_raw = getattr(args, "print_raw", False)
     opt.skip_unreadable = getattr(args, "skip_unreadable", "yes") != "no"
     opt.debug_break = getattr(args, "debug_break", -1)
+    opt.write_dump = getattr(args, "write_dump", None)
+    opt.read_dump = getattr(args, "read_dump", None)
     opt.profile_detail = getattr(args, "profile_cpu", "no") == "yes"
     opt.print_banded_aln = getattr(args, "print_banded_aln", False)
     opt.print_scaling = getattr(args, "print_scaling", False)

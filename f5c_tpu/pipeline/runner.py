@@ -74,6 +74,11 @@ class Options:
     print_banded_aln: bool = False  # (f5c.c:989)
     print_scaling: bool = False     # (f5c.c:1008)
     print_raw: bool = False         # raw ADC dump at load (f5cio.c:380)
+    # binary raw-signal cache in the reference's on-disk format
+    # (u64 nsample, f32[] raw, f32 dig/offset/range/rate per record,
+    # sequential in BAM order; f5cio.c:321-344, 389-397)
+    write_dump: str | None = None
+    read_dump: str | None = None
     # unreadable signal records: skip-and-count (default) or abort,
     # mirroring F5C_SKIP_UNREADABLE (f5cio.c:308-318, 435-447)
     skip_unreadable: bool = True
@@ -151,6 +156,23 @@ def _worker_init(model_kind: str, model_path: str | None, rna: bool):
 def _fetch_signal(qname: str, path: str):
     """Raw signal fetch for one read (shared reader, lock-guarded);
     returns the signal record or None on a bad/unreadable record."""
+    rd = _W.get("read_dump")
+    if rd is not None:
+        # sequential raw-dump cache (reference --read-dump,
+        # f5cio.c:321-344): records follow BAM iteration order, so the
+        # loader runs inline single-process in dump mode
+        import struct
+
+        from ..io.fast5 import Signal
+
+        n = struct.unpack("<Q", rd.read(8))[0]
+        if n == 0:
+            return None
+        raw = np.fromfile(rd, np.float32, n)
+        dig, off, rng, rate = np.fromfile(rd, np.float32, 4)
+        return Signal(raw=raw, digitisation=float(dig),
+                      offset=float(off), range=float(rng),
+                      sample_rate=float(rate), read_id=qname)
     try:
         with _W_FETCH_LOCK:
             if path.endswith(".blow5") or path.endswith(".slow5"):
@@ -185,8 +207,18 @@ def _worker_load(args):
     model = _W["model"]
     rna = _W["rna"]
     sig = _fetch_signal(qname, path)
+    wd = _W.get("write_dump")
     if sig is None:
+        if wd is not None:
+            # bad record: a zero-length header keeps ordinals aligned
+            # (f5cio.c:369-372)
+            wd.write((0).to_bytes(8, "little"))
         return qname, None
+    if wd is not None:
+        wd.write(int(sig.nsample).to_bytes(8, "little"))
+        np.asarray(sig.raw, np.float32).tofile(wd)
+        np.array([sig.digitisation, sig.offset, sig.range,
+                  sig.sample_rate], np.float32).tofile(wd)
     if _W.get("print_raw"):
         # reference format: ">qname\tPATH:path\tLN:n" + int samples
         # (f5cio.c:380-388); only the inline single-process loader sets
@@ -361,18 +393,25 @@ class Pipeline:
         opt = self.opt
         import multiprocessing as mp
 
-        if not load or opt.num_proc <= 1 or opt.print_raw:
+        dump_mode = bool(opt.write_dump or opt.read_dump)
+        if not load or opt.num_proc <= 1 or opt.print_raw or dump_mode:
             # single host core: run loads inline, no IPC overhead
             _worker_init(self._model_kind, opt.kmer_model_path, opt.rna)
             pool = None
-            if opt.print_raw and opt.num_proc > 1:
-                # mirror the reference, which refuses --print-raw with
-                # --iop (f5c.c:557-560): keep prints ordered
-                sys.stderr.write("[f5c-tpu] --print-raw forces "
-                                 "single-process loading\n")
+            if (opt.print_raw or dump_mode) and opt.num_proc > 1:
+                # mirror the reference, which refuses --print-raw and
+                # raw dumps with --iop (f5c.c:557-568): keep the
+                # sequential record order
+                sys.stderr.write("[f5c-tpu] --print-raw/--write-dump/"
+                                 "--read-dump force single-process "
+                                 "loading\n")
             # set (or clear, for later pipelines in this process) the
-            # module-level flag the inline loader consults
+            # module-level flags the inline loader consults
             _W["print_raw"] = bool(opt.print_raw and load)
+            _W["write_dump"] = (open(opt.write_dump, "wb")
+                                if load and opt.write_dump else None)
+            _W["read_dump"] = (open(opt.read_dump, "rb")
+                               if load and opt.read_dump else None)
         else:
             # spawn: forking a process with a live TPU client is unsafe
             pool = ProcessPoolExecutor(
@@ -451,6 +490,11 @@ class Pipeline:
         finally:
             if pool is not None:
                 pool.shutdown(wait=False, cancel_futures=True)
+            for key in ("write_dump", "read_dump"):
+                fh = _W.get(key)
+                if fh is not None:
+                    fh.close()
+                    _W[key] = None
             if self._ultra_records and opt.skip_ultra:
                 from ..io.bam import write_bam
 
@@ -989,10 +1033,13 @@ class Pipeline:
         return (native.available() and self._use_pallas()
                 and os.environ.get("F5C_TPU_FILL", "ring") == "ring"
                 and not self._mesh_devices()
-                # --print-raw dumps signals in BAM order at load time;
-                # the wave schedule loads in length-sorted order, so
-                # debug runs take the plain loader (debug != perf)
-                and not self.opt.print_raw)
+                # --print-raw and the raw-dump cache emit/consume
+                # records in BAM order at load time; the wave schedule
+                # loads in length-sorted order, so those runs take the
+                # plain loader (debug/cache != perf)
+                and not self.opt.print_raw
+                and not self.opt.write_dump
+                and not self.opt.read_dump)
 
     def align_batch_waved(self, batch: list[ReadRecord],
                           keep_raw: bool = False,
