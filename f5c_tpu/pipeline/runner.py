@@ -577,9 +577,14 @@ class Pipeline:
                or os.environ.get("F5C_TPU_EVENTS_ENGINE", "auto"))
         if eng == "auto":
             eng = os.environ.get("F5C_TPU_EVENTS_ENGINE", "auto")
-        if eng not in ("host", "device"):
+        if eng not in ("host", "device"):    # resolve auto
+            from .. import native
             if not self._use_pallas():
                 eng = "host"          # CPU runs: native detect is faster
+            elif not native.available():
+                # without the native library the batched device op
+                # beats the NumPy oracle even over a tunnel
+                eng = "device"
             else:
                 import jax
 
@@ -591,11 +596,6 @@ class Pipeline:
                     eng = ("device"
                            if measured_dispatch_overhead() < 5e-3
                            else "host")
-        from .. import native
-        if eng == "host" and not native.available():
-            # without the native library the batched device op beats
-            # the NumPy oracle even over a tunnel
-            eng = "device" if self._use_pallas() else "host"
         self._events_engine_cached = eng
         return eng
 
