@@ -509,9 +509,18 @@ class Pipeline:
 
     def _load_batch(self, pool, batch, keep_raw):
         t0 = time.time()
-        args = [(r.qname, r.signal_path, r.seq, keep_raw) for r in batch]
-        results = (map(_worker_load, args) if pool is None
-                   else pool.map(_worker_load, args))
+        if (pool is None and batch and not _W.get("read_dump")
+                and not _W.get("write_dump") and not _W.get("print_raw")
+                and self._events_engine() == "device"):
+            # plain (non-wave) loader with the on-device detector:
+            # batch-detect the whole load at once
+            results = self._load_wave_device(
+                list(range(len(batch))), batch, keep_raw)
+        else:
+            args = [(r.qname, r.signal_path, r.seq, keep_raw)
+                    for r in batch]
+            results = (map(_worker_load, args) if pool is None
+                       else pool.map(_worker_load, args))
         for r, (qname, data) in zip(batch, results):
             assert qname == r.qname
             self._populate_read(r, data)

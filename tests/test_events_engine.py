@@ -77,6 +77,58 @@ def test_device_engine_matches_host_e2e():
     assert "EVENTS_ENGINE_OK" in out.stdout
 
 
+def test_plain_loader_device_engine_matches_host():
+    """The non-wave loader (_load_batch) also honours
+    --events-engine device; loaded events must bit-match the host
+    engine (eager device op on the CPU backend)."""
+    env = dict(os.environ)
+    env.update({"PALLAS_AXON_POOL_IPS": "", "JAX_PLATFORMS": "cpu",
+                "F5C_TPU_INTERPRET": "1"})
+    env.pop("F5C_TPU_EVENTS_ENGINE", None)
+    code = r"""
+import sys, os, glob
+import numpy as np
+sys.path.insert(0, %(repo)r)
+from f5c_tpu.pipeline.runner import (Options, Pipeline, ReadRecord,
+                                     _worker_init)
+from f5c_tpu.models import builtin_model
+from f5c_tpu.io.fasta import FastaIndex
+ECOLI = %(ecoli)r
+fa = FastaIndex(os.path.join(ECOLI, "reads.fasta"))
+names = fa.names()[:5]
+import json
+readdb = {}
+paths = sorted(glob.glob(os.path.join(ECOLI, "fast5_files", "*.fast5")))
+from f5c_tpu.io.fast5 import Fast5File
+for p in paths:
+    for rid in Fast5File(p).read_ids():
+        readdb[rid] = p
+def mk():
+    return [ReadRecord(qname=n, read_idx=i, tid=i, pos=0,
+                       cigar=[(0, fa.entries[n].length)],
+                       is_reverse=False, seq=fa.fetch(n),
+                       signal_path=readdb[n])
+            for i, n in enumerate(names)]
+outs = []
+for eng in ("device", "host"):
+    pipe = Pipeline.bare(Options(events_engine=eng),
+                         builtin_model("dna_r9_nucleotide"))
+    _worker_init("dna_r9_nucleotide", None, False)
+    batch = pipe._load_batch(None, mk(), keep_raw=False)
+    outs.append(batch)
+for a, b in zip(*outs):
+    np.testing.assert_array_equal(a.event_means, b.event_means)
+    np.testing.assert_array_equal(a.event_starts, b.event_starts)
+    assert a.scaling.shift == b.scaling.shift
+    assert a.scaling.scale == b.scaling.scale
+print("PLAIN_LOADER_OK")
+""" % dict(repo=REPO, ecoli=ECOLI)
+    out = subprocess.run([sys.executable, "-c", code], env=env,
+                         capture_output=True, text=True, timeout=900)
+    assert out.returncode == 0, out.stderr[-3000:]
+    assert "PLAIN_LOADER_OK" in out.stdout
+
+
 def test_auto_resolves_host_on_cpu_backend():
     """auto on the CPU backend (or any slow-dispatch link) must pick the
     host engine — the selection rule is measured, not hard-coded."""
