@@ -165,11 +165,25 @@ def _fetch_signal(qname: str, path: str):
 
         from ..io.fast5 import Signal
 
-        n = struct.unpack("<Q", rd.read(8))[0]
+        hdr = rd.read(8)
+        if len(hdr) != 8:
+            sys.stderr.write(
+                f"[f5c-tpu] ERROR: raw dump exhausted at read "
+                f"[{qname}] — the dump was written with a different "
+                f"BAM/filter set (or is truncated); re-create it with "
+                f"--write-dump on this exact command line\n")
+            raise SystemExit(1)
+        n = struct.unpack("<Q", hdr)[0]
         if n == 0:
             return None
         raw = np.fromfile(rd, np.float32, n)
-        dig, off, rng, rate = np.fromfile(rd, np.float32, 4)
+        params = np.fromfile(rd, np.float32, 4)
+        if raw.shape[0] != n or params.shape[0] != 4:
+            sys.stderr.write(
+                f"[f5c-tpu] ERROR: raw dump truncated mid-record at "
+                f"read [{qname}]\n")
+            raise SystemExit(1)
+        dig, off, rng, rate = params
         return Signal(raw=raw, digitisation=float(dig),
                       offset=float(off), range=float(rng),
                       sample_rate=float(rate), read_id=qname)
@@ -248,19 +262,34 @@ def _worker_load(args):
             sc = estimate_scalings_using_mom(seq, model, et.mean)
         if not keep_raw:
             pa = None
-    means = et.mean
-    starts, lengths, stdvs = et.start, et.length, et.stdv
+    return qname, _finish_load(model, rna, seq, et.start, et.length,
+                               et.mean, et.stdv, sig.nsample,
+                               sig.sample_rate, pa, ranks=ranks, sc=sc)
+
+
+def _finish_load(model, rna, seq, starts, lengths, means, stdvs,
+                 nsample, sample_rate, raw_pa, ranks=None, sc=None):
+    """Shared tail of both event-detection engines: ranks + MoM (when
+    the caller has not already computed them) + the post-MoM RNA event
+    reversal (f5c.c:711-721) + the loaded-read dict."""
+    from .. import native
+
+    if sc is None:
+        if native.available():
+            if ranks is None:
+                ranks = native.kmer_ranks(seq, model.k)
+            sc = native.mom_scalings(means, ranks, model.level_mean)
+        else:
+            from ..ops.abea_ref import estimate_scalings_using_mom
+
+            sc = estimate_scalings_using_mom(seq, model, means)
     if rna:
-        # events are reversed to 3'->5' after MoM (f5c.c:711-721)
-        means = means[::-1].copy()
-        starts = starts[::-1].copy()
-        lengths = lengths[::-1].copy()
-        stdvs = stdvs[::-1].copy()
-    return qname, dict(
-        event_means=means, scaling=sc, sample_rate=sig.sample_rate,
+        means, starts = means[::-1].copy(), starts[::-1].copy()
+        lengths, stdvs = lengths[::-1].copy(), stdvs[::-1].copy()
+    return dict(
+        event_means=means, scaling=sc, sample_rate=sample_rate,
         event_starts=starts, event_lengths=lengths, event_stdvs=stdvs,
-        nsample=sig.nsample, ranks=ranks,
-        raw_pa=pa,
+        nsample=nsample, ranks=ranks, raw_pa=raw_pa,
     )
 
 
@@ -393,6 +422,9 @@ class Pipeline:
         opt = self.opt
         import multiprocessing as mp
 
+        # per-run batch counter: --debug-break counts this iteration's
+        # batches, not the pipeline object's lifetime total
+        self._n_batches = 0
         dump_mode = bool(opt.write_dump or opt.read_dump)
         if not load or opt.num_proc <= 1 or opt.print_raw or dump_mode:
             # single host core: run loads inline, no IPC overhead
@@ -509,11 +541,14 @@ class Pipeline:
 
     def _load_batch(self, pool, batch, keep_raw):
         t0 = time.time()
-        if (pool is None and batch and not _W.get("read_dump")
+        if (batch and not _W.get("read_dump")
                 and not _W.get("write_dump") and not _W.get("print_raw")
                 and self._events_engine() == "device"):
             # plain (non-wave) loader with the on-device detector:
-            # batch-detect the whole load at once
+            # batch-detect the whole load at once (fetch threads via
+            # _host_pool; the worker process pool is bypassed — an
+            # explicit --events-engine device must not silently fall
+            # back to host detection just because num_proc > 1)
             results = self._load_wave_device(
                 list(range(len(batch))), batch, keep_raw)
         else:
@@ -614,7 +649,6 @@ class Pipeline:
         on the host (they are inputs to the host-side QC/recalibration
         path either way).  Returns (qname, data) pairs shaped exactly
         like _worker_load's output."""
-        from .. import native
         from ..ops.events_device import detect_events_batch
 
         rna = self.opt.rna
@@ -631,25 +665,9 @@ class Pipeline:
                 eager=self._interpret_kernels())
             for j, (st, ln, mn, sd) in zip(live, tables):
                 pa, nsample, rate = fetched[j][1]
-                seq = batch[w[j]].seq
-                if native.available():
-                    ranks = native.kmer_ranks(seq, model.k)
-                    sc = native.mom_scalings(mn, ranks, model.level_mean)
-                else:
-                    from ..ops.abea_ref import (
-                        estimate_scalings_using_mom)
-
-                    ranks = None
-                    sc = estimate_scalings_using_mom(seq, model, mn)
-                if rna:
-                    # events reversed to 3'->5' after MoM (f5c.c:711-721)
-                    st, ln = st[::-1].copy(), ln[::-1].copy()
-                    mn, sd = mn[::-1].copy(), sd[::-1].copy()
-                results[j] = dict(
-                    event_means=mn, scaling=sc, sample_rate=rate,
-                    event_starts=st, event_lengths=ln, event_stdvs=sd,
-                    nsample=nsample, ranks=ranks,
-                    raw_pa=pa if keep_raw else None)
+                results[j] = _finish_load(
+                    model, rna, batch[w[j]].seq, st, ln, mn, sd,
+                    nsample, rate, pa if keep_raw else None)
         return [(qname, results[j])
                 for j, (qname, _) in enumerate(fetched)]
 
@@ -1082,9 +1100,6 @@ class Pipeline:
         lm, ls, ll = self._nuc_dev_tables()
         rk_dtype = np.int16 if self.model.num_kmers <= 32767 else np.int32
         launches: list = []
-        chunks: list = []          # device event slabs (padded lengths)
-        hmm_off: dict[int, int] = {}
-        pool_pos = 0
         ultra_jobs: list = []
         interpret = self._interpret_kernels()
         sync_i = 0
@@ -1246,10 +1261,6 @@ class Pipeline:
             self.stage_detail["align.h2d_enqueue"] += time.time() - t_h2d
             self.stage_detail["align.h2d_bytes"] += (slab.nbytes
                                                     + rk_slab.nbytes)
-            for r, o in zip(todo, ev_off):
-                hmm_off[id(r)] = pool_pos + int(o)
-            chunks.append(slab_dev)
-            pool_pos += slab.shape[0]
 
             # ---- dispatch this wave's fill+walk (no waiting) ----
             # a wave normally fits one launch; split when the padded
@@ -1281,24 +1292,20 @@ class Pipeline:
                 i0 = j
             self.stage_time["align"] += time.time() - t0
 
-            # keep at most 2 launches in flight: decoding the oldest here
-            # overlaps the device filling the newest
-            if len(launches) - sync_i > 2:
+            # keep at most 2 launches in flight (2 padded traces
+            # <= 2x TRACE_BYTES_BUDGET of HBM): decoding the oldest
+            # here overlaps the device filling the newest
+            if len(launches) - sync_i > 1:
                 sync_one()
 
         while sync_i < len(launches):
             sync_one()
         for r, rk in ultra_jobs:
             self._align_ultra_one(r, rk)
-
-        # ---- assemble the HMM scorer's device-resident event pool from
-        # the uploaded slabs (no second transfer) ----
-        if chunks and pool_pos <= self.HMM_POOL_CAP:
-            t0 = time.time()
-            pool_len = _pool_bucket(pool_pos)
-            self._hmm_pool = (_concat_pool(tuple(chunks), pool_len),
-                              hmm_off)
-            self.stage_time["align"] += time.time() - t0
+        # NOTE: no batch-wide event-pool concat here — inline HMM
+        # scoring uses each wave's own slab, and the leftover path
+        # (_meth_batch_native: ultra-long reads) re-uploads its few
+        # reads; a concat dispatch per batch would be pure overhead
 
     def _align_subbatch(self, todo: list[ReadRecord], ranks: list):
         """One padded device ABEA launch + native postalign.
@@ -2338,28 +2345,6 @@ def _bucket(n: int, minimum: int = 256) -> int:
     while b < n:
         b *= 2
     return b
-
-
-_JIT_CACHE: dict = {}
-
-
-def _concat_pool(chunks: tuple, pool_len: int):
-    """Device-side concatenation of the wave event slabs into the
-    (padded) HMM pool — no host round trip."""
-    import jax
-    import jax.numpy as jnp
-
-    fn = _JIT_CACHE.get("concat_pool")
-    if fn is None:
-        @functools.partial(jax.jit, static_argnames=("pool_len",))
-        def fn(chunks, pool_len: int):
-            total = sum(c.shape[0] for c in chunks)
-            parts = list(chunks)
-            if pool_len > total:
-                parts.append(jnp.zeros(pool_len - total, jnp.float32))
-            return jnp.concatenate(parts)
-        _JIT_CACHE["concat_pool"] = fn
-    return fn(chunks, pool_len=pool_len)
 
 
 def _pool_bucket(n: int) -> int:
