@@ -643,6 +643,31 @@ class Pipeline:
         self._events_engine_cached = eng
         return eng
 
+    def _hmm_packbuf(self) -> bool:
+        """Packed single-buffer HMM upload (ops/hmm_pallas.py
+        pack_hmm_args): one H2D per dispatch instead of ten.  Explicit
+        F5C_TPU_HMM_PACKBUF=0/1 wins; otherwise measured — pack when
+        the dispatch round-trip is slow (tunnelled links), send the
+        plain arrays on attached chips where ten small async copies are
+        free and the host-side pack is not.  Scores are bit-identical
+        either way (tests/test_hmm_packbuf.py)."""
+        env = os.environ.get("F5C_TPU_HMM_PACKBUF")
+        if env is not None:
+            return env == "1"
+        cached = getattr(self, "_hmm_packbuf_cached", None)
+        if cached is None:
+            import jax
+
+            if self._interpret_kernels() or \
+                    jax.default_backend() == "cpu":
+                cached = False
+            else:
+                from .eventalign import measured_dispatch_overhead
+
+                cached = measured_dispatch_overhead() >= 5e-3
+            self._hmm_packbuf_cached = cached
+        return cached
+
     def _load_wave_device(self, w, batch, keep_raw: bool):
         """Load stage of the DEVICE events engine: fetch raw signals,
         run the batched on-device detector, then per-read ranks + MoM
@@ -1925,8 +1950,7 @@ class Pipeline:
                 # un-deal: row r's scores live at ss[r % D, r // D]
                 s = jnp.transpose(ss, (1, 0, 2)).reshape(
                     D * n_rows_d, segs)[:n_rows]
-            elif (os.environ.get("F5C_TPU_HMM_PACKBUF") == "1"
-                    and args[0].dtype == np.int16):
+            elif (self._hmm_packbuf() and args[0].dtype == np.int16):
                 # one H2D transfer instead of ten (tunnelled hosts)
                 from ..ops.hmm_pallas import (hmm_forward_pallas_buf,
                                               pack_hmm_args)
