@@ -82,7 +82,14 @@ class BgzfReader:
         cdata_len = bsize - xlen - 20
         self._f.seek(coffset + 12 + xlen)
         cdata = self._f.read(cdata_len)
-        data = zlib.decompress(cdata, wbits=-15)
+        try:
+            data = zlib.decompress(cdata, wbits=-15)
+        except zlib.error as e:
+            # truncated/corrupt block: a catchable reader error, not a
+            # raw zlib.error from deep inside an iteration
+            raise ValueError(
+                f"{self.path}: corrupt/truncated BGZF block at "
+                f"{coffset}: {e}") from e
         self._next_off = coffset + bsize
         self._cache_off = coffset
         self._cache_data = data

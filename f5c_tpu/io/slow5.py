@@ -255,12 +255,18 @@ class Slow5File:
         self._fh = open(path, "rb")
         magic = self._fh.read(6)
         self._fh.seek(0)
-        if magic == MAGIC:
-            self._binary = True
-            self._parse_binary_header()
-        else:
-            self._binary = False
-            self._parse_ascii_file_header()
+        try:
+            if magic == MAGIC:
+                self._binary = True
+                self._parse_binary_header()
+            else:
+                self._binary = False
+                self._parse_ascii_file_header()
+        except (RuntimeError, OSError):
+            raise
+        except Exception as e:
+            raise RuntimeError(
+                f"corrupt/truncated slow5 header in {path}: {e}") from e
         self._index: dict[str, tuple[int, int]] | None = None
         self._idx_path = path + ".idx"
         if os.path.exists(self._idx_path):
@@ -346,8 +352,14 @@ class Slow5File:
         """Scan records, build the in-memory index and write ``.idx``
         (slow5_idx_create)."""
         idx = {}
-        for rid, off, size in self._scan_records():
-            idx[rid] = (off, size)
+        try:
+            for rid, off, size in self._scan_records():
+                idx[rid] = (off, size)
+        except (RuntimeError, OSError):
+            raise
+        except Exception as e:
+            raise RuntimeError(
+                f"corrupt/truncated slow5 file {self.path}: {e}") from e
         self._index = idx
         tmp = self._idx_path + f".tmp{os.getpid()}"
         with open(tmp, "wb") as f:
@@ -420,12 +432,23 @@ class Slow5File:
             raise KeyError(read_id)
         off, size = self._index[read_id]
         self._fh.seek(off)
-        if self._binary:
-            blob = self._fh.read(size)[4:]
-            rec = self._depress_record(blob)
-            return self._parse_binary_record(rec)
-        line = self._fh.read(size).decode("latin1")
-        return self._parse_ascii_record(line)
+        # normalise decode failures (truncated file, corrupt blob,
+        # codec errors from zlib/zstd/svb) to RuntimeError so callers
+        # can skip-and-count unreadable records (f5cio.c:435-447)
+        # without knowing every backend's exception type
+        try:
+            if self._binary:
+                blob = self._fh.read(size)[4:]
+                rec = self._depress_record(blob)
+                return self._parse_binary_record(rec)
+            line = self._fh.read(size).decode("latin1")
+            return self._parse_ascii_record(line)
+        except (KeyError, RuntimeError, OSError):
+            raise
+        except Exception as e:
+            raise RuntimeError(
+                f"corrupt/unreadable slow5 record [{read_id}] in "
+                f"{self.path}: {e}") from e
 
     def _parse_binary_record(self, rec: bytes) -> Signal:
         (idl,) = struct.unpack_from("<H", rec, 0)

@@ -200,7 +200,9 @@ def _fetch_signal(qname: str, path: str):
                 from ..io.fast5 import read_fast5_signal
 
                 sig = read_fast5_signal(path, read_id=qname)
-    except (OSError, KeyError):
+    except (OSError, KeyError, RuntimeError, ValueError, EOFError):
+        # missing record, truncated/corrupt file, codec failure — all
+        # normalised by the IO layer; skip-and-count (f5cio.c:435-447)
         return None
     return sig if sig.nsample else None
 
