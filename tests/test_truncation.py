@@ -109,6 +109,22 @@ def test_truncated_bam_fails_cleanly(tmp_path):
             pass
 
 
+def test_truncated_fast5_fails_cleanly(tmp_path):
+    from f5c_tpu.io.fast5 import read_fast5_signal
+
+    src = sorted(glob.glob(os.path.join(ECOLI, "fast5_files",
+                                        "*.fast5")))[0]
+    with open(src, "rb") as f:
+        data = f.read()
+    for frac in (0.01, 0.5, 0.95):
+        t = str(tmp_path / f"t{frac}.fast5")
+        with open(t, "wb") as f:
+            f.write(data[:int(len(data) * frac)])
+        with pytest.raises((OSError, RuntimeError, ValueError, KeyError,
+                            EOFError)):
+            read_fast5_signal(t)
+
+
 def test_pipeline_counts_bad_signal_on_truncated_blow5(blow5, tmp_path):
     """End to end: a pipeline pointed at a truncated BLOW5 skips-and-
     counts unreadable records (the default --skip-unreadable yes) rather
