@@ -152,6 +152,23 @@ def test_write_read_dump_roundtrip(dataset, tmp_path):
         assert a.sample_rate == b.sample_rate
 
 
+def test_spawn_pool_loader_matches_inline(dataset):
+    """num_proc > 1 loads through a spawn ProcessPoolExecutor (the
+    default on multi-core hosts when the wave path is off); loaded
+    events and scalings must bit-match the inline loader."""
+    pipe1 = _pipe(dataset)                      # num_proc=1, inline
+    inline = [r for b in pipe1.batches() for r in b]
+    pipe2 = _pipe(dataset, num_proc=2)          # spawn pool
+    pooled = [r for b in pipe2.batches() for r in b]
+    assert len(inline) == len(pooled) > 0
+    for a, b in zip(inline, pooled):
+        assert a.qname == b.qname
+        np.testing.assert_array_equal(a.event_means, b.event_means)
+        assert a.scaling.shift == b.scaling.shift
+        assert a.scaling.scale == b.scaling.scale
+        assert a.nsample == b.nsample
+
+
 def test_cli_accepts_new_flags():
     import subprocess
 
