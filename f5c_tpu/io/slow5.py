@@ -270,7 +270,16 @@ class Slow5File:
         self._index: dict[str, tuple[int, int]] | None = None
         self._idx_path = path + ".idx"
         if os.path.exists(self._idx_path):
-            self._load_index()
+            try:
+                self._load_index()
+            except Exception:
+                # corrupt/stale .idx: rebuild from the data file
+                # rather than failing the run (slow5_idx_load re-creates
+                # on version mismatch too)
+                if create_index_if_missing:
+                    self.create_index()
+                else:
+                    raise
         elif create_index_if_missing:
             self.create_index()
 

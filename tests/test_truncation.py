@@ -109,6 +109,22 @@ def test_truncated_bam_fails_cleanly(tmp_path):
             pass
 
 
+def test_corrupt_idx_rebuilds(blow5, tmp_path):
+    """A corrupt .idx next to a healthy BLOW5 is rebuilt, not fatal."""
+    import shutil
+
+    from f5c_tpu.io.slow5 import Slow5File
+
+    src, ids = blow5
+    t = str(tmp_path / "ok.blow5")
+    shutil.copyfile(src, t)
+    with open(t + ".idx", "wb") as f:
+        f.write(b"garbage idx content")
+    f5 = Slow5File(t)
+    sig = f5.get(ids[0])
+    assert sig.nsample > 0
+
+
 def test_truncated_fast5_fails_cleanly(tmp_path):
     from f5c_tpu.io.fast5 import read_fast5_signal
 
