@@ -42,18 +42,26 @@ def meth_freq(lines, call_threshold: float = 2.5, split_groups: bool = False,
     version, motif_word = HEADERS[header]
     sites: dict[tuple, SiteStats] = {}
 
-    for line in it:
+    for lineno, line in enumerate(it, start=2):
+        if not line.strip():
+            continue
         cols = line.rstrip("\n").split("\t")
-        if version == 2:
-            chrom, _strand, start, end = cols[0], cols[1], cols[2], cols[3]
-            llr = float(cols[5])
-            num_sites = int(cols[9])
-            sequence = cols[10]
-        else:
-            chrom, start, end = cols[0], cols[1], cols[2]
-            llr = float(cols[4])
-            num_sites = int(cols[8])
-            sequence = cols[9]
+        try:
+            if version == 2:
+                chrom, _strand, start, end = (cols[0], cols[1], cols[2],
+                                              cols[3])
+                llr = float(cols[5])
+                num_sites = int(cols[9])
+                sequence = cols[10]
+            else:
+                chrom, start, end = cols[0], cols[1], cols[2]
+                llr = float(cols[4])
+                num_sites = int(cols[8])
+                sequence = cols[9]
+        except (IndexError, ValueError) as e:
+            raise ValueError(
+                f"malformed call-methylation TSV at line {lineno} "
+                f"({len(cols)} fields): {line[:80]!r}") from e
         if abs(llr) < call_threshold:
             continue
         is_meth = llr > 0
