@@ -110,9 +110,19 @@ def freq_merge(paths: list[str], out=sys.stdout):
     out.write(headers[0] + "\n")
 
     def rows(f):
-        for line in f:
+        for lineno, line in enumerate(f, start=2):
+            if not line.strip():
+                continue
             c = line.rstrip("\n").split("\t")
-            yield (c[0], int(c[1]), int(c[2])), c
+            try:
+                if len(c) < 8:
+                    raise IndexError(f"{len(c)} fields, expected 8")
+                yield (c[0], int(c[1]), int(c[2])), c
+            except (IndexError, ValueError) as e:
+                raise ValueError(
+                    f"malformed frequency TSV line {lineno} in "
+                    f"{getattr(f, 'name', '<stream>')}: {line[:80]!r}"
+                ) from e
 
     merged = heapq.merge(*(rows(f) for f in files), key=lambda x: x[0])
     pending_key = None
