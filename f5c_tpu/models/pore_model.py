@@ -146,23 +146,42 @@ def load_model_file(path: str, alphabet: str | None = None) -> PoreModel:
     means: list[float] = []
     stdvs: list[float] = []
     with open(path) as f:
-        for line in f:
+        for lineno, line in enumerate(f, start=1):
             line = line.rstrip("\n")
-            if not line:
+            if not line.strip():
                 continue
             if line.startswith("#"):
-                parts = line[1:].split("\t")
+                # the reference parses headers with sscanf("%s\t%d")
+                # (model.c:69), which accepts any whitespace — split
+                # likewise so "#k 6" and "#k\t6" both work
+                parts = line[1:].split(None, 1)
                 if len(parts) >= 2:
-                    meta[parts[0]] = parts[1]
+                    meta[parts[0]] = parts[1].strip()
                     if parts[0] == "k":
-                        k = int(parts[1])
+                        try:
+                            k = int(parts[1])
+                        except ValueError as e:
+                            raise ValueError(
+                                f"{path}:{lineno}: invalid #k header "
+                                f"{line!r}") from e
+                        if k <= 0 or k > 9:      # MAX_KMER_SIZE, f5c.h:30
+                            raise ValueError(
+                                f"{path}: k-mer size {k} out of range "
+                                f"(1..9)")
                 continue
             if line.startswith("kmer\t") or line.startswith("kmer "):
                 continue
             cols = line.split("\t")
-            kmers.append(cols[0])
-            means.append(float(cols[1]))
-            stdvs.append(float(cols[2]))
+            try:
+                kmers.append(cols[0])
+                means.append(float(cols[1]))
+                stdvs.append(float(cols[2]))
+            except (IndexError, ValueError) as e:
+                raise ValueError(
+                    f"{path}:{lineno}: malformed model row "
+                    f"{line[:60]!r} (need KMER\\tmean\\tstdv)") from e
+    if not kmers:
+        raise ValueError(f"{path}: no k-mer rows found")
     if k is None:
         k = len(kmers[0])
     n = len(kmers)
@@ -177,12 +196,23 @@ def load_model_file(path: str, alphabet: str | None = None) -> PoreModel:
     size = (5 if alphabet == "meth" else 4) ** k
     level_mean = np.zeros(size, dtype=np.float32)
     level_stdv = np.ones(size, dtype=np.float32)
+    seen = np.zeros(size, dtype=bool)
     for kmer, m, s in zip(kmers, means, stdvs):
+        if len(kmer) != k:
+            raise ValueError(
+                f"{path}: k-mer {kmer!r} is not length {k}")
         # direct-RNA tables are published over ACGU; the pipeline works in
         # U->T space (reads are U->T converted at load, f5cio.c)
         r = int(rank_fn(kmer.replace("U", "T"), k)[0])
+        if seen[r]:
+            raise ValueError(f"{path}: duplicate k-mer {kmer!r}")
+        seen[r] = True
         level_mean[r] = m
         level_stdv[r] = s
+    if not seen.all():
+        raise ValueError(
+            f"{path}: {int((~seen).sum())} of {size} k-mers missing "
+            f"from the table")
     return PoreModel(
         k=k,
         alphabet=alphabet,
