@@ -246,6 +246,9 @@ def main(argv=None):
 
     p = sub.add_parser("resquiggle", help="signal-to-read alignment")
     p.add_argument("reads", help="reads FASTA/FASTQ")
+    p.add_argument("--events-engine", choices=["auto", "host", "device"],
+                   default="auto",
+                   help="event-detection engine (see call-methylation)")
     p.add_argument("--fast5-dir", action="append", default=[],
                    help="FAST5 directory (repeatable)")
     p.add_argument("--slow5", help="SLOW5/BLOW5 signal file")

@@ -31,7 +31,8 @@ def _make_pipeline_bare(args):
                   pore=getattr(args, "pore", "r9"),
                   kmer_model_path=getattr(args, "kmer_model", None),
                   batch_reads=getattr(args, "batchsize", 512),
-                  device=getattr(args, "device", "auto"))
+                  device=getattr(args, "device", "auto"),
+                  events_engine=getattr(args, "events_engine", "auto"))
     if getattr(args, "profile", None):
         from ..profiles import apply_profile
 
