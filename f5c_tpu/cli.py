@@ -281,11 +281,19 @@ def main(argv=None):
                      "are merged into it)")
         if (getattr(args, "print_events", False)
                 or getattr(args, "print_banded_aln", False)
-                or getattr(args, "print_scaling", False)):
+                or getattr(args, "print_scaling", False)
+                or getattr(args, "print_raw", False)):
             # debug dumps carry no per-read merge markers, so the k-way
             # part merge would drop or misplace them
             ap.error("--dist is incompatible with --print-* debug "
                      "dumps; run them single-process")
+        if (getattr(args, "write_dump", None)
+                or getattr(args, "read_dump", None)):
+            # the raw dump is a single sequential file in full-BAM
+            # order: ranks would clobber it on write and mis-assign
+            # records on read (each rank sees only its shard)
+            ap.error("--dist is incompatible with --write-dump/"
+                     "--read-dump; create/use dumps single-process")
         from .parallel import distributed as dist_mod
 
         dist_rank, dist_nprocs = dist_mod.initialize(

@@ -159,8 +159,11 @@ def load_model_file(path: str, alphabet: str | None = None) -> PoreModel:
                     meta[parts[0]] = parts[1].strip()
                     if parts[0] == "k":
                         try:
-                            k = int(parts[1])
-                        except ValueError as e:
+                            # only the first token: "#k\t6\t<extra>"
+                            # is legal (the reference's sscanf stops at
+                            # the integer)
+                            k = int(parts[1].split()[0])
+                        except (ValueError, IndexError) as e:
                             raise ValueError(
                                 f"{path}:{lineno}: invalid #k header "
                                 f"{line!r}") from e

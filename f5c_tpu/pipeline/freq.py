@@ -48,13 +48,14 @@ def meth_freq(lines, call_threshold: float = 2.5, split_groups: bool = False,
         cols = line.rstrip("\n").split("\t")
         try:
             if version == 2:
-                chrom, _strand, start, end = (cols[0], cols[1], cols[2],
-                                              cols[3])
+                chrom = cols[0]
+                start_i, end_i = int(cols[2]), int(cols[3])
                 llr = float(cols[5])
                 num_sites = int(cols[9])
                 sequence = cols[10]
             else:
-                chrom, start, end = cols[0], cols[1], cols[2]
+                chrom = cols[0]
+                start_i, end_i = int(cols[1]), int(cols[2])
                 llr = float(cols[4])
                 num_sites = int(cols[8])
                 sequence = cols[9]
@@ -65,7 +66,6 @@ def meth_freq(lines, call_threshold: float = 2.5, split_groups: bool = False,
         if abs(llr) < call_threshold:
             continue
         is_meth = llr > 0
-        start_i, end_i = int(start), int(end)
         if split_groups and num_sites > 1:
             first_cg = sequence.find("CG")
             pos = first_cg

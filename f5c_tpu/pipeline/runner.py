@@ -524,6 +524,7 @@ class Pipeline:
         finally:
             if pool is not None:
                 pool.shutdown(wait=False, cancel_futures=True)
+            _W["print_raw"] = False
             for key in ("write_dump", "read_dump"):
                 fh = _W.get(key)
                 if fh is not None:
@@ -543,16 +544,35 @@ class Pipeline:
 
     def _load_batch(self, pool, batch, keep_raw):
         t0 = time.time()
-        if (batch and not _W.get("read_dump")
-                and not _W.get("write_dump") and not _W.get("print_raw")
-                and self._events_engine() == "device"):
-            # plain (non-wave) loader with the on-device detector:
-            # batch-detect the whole load at once (fetch threads via
-            # _host_pool; the worker process pool is bypassed — an
-            # explicit --events-engine device must not silently fall
-            # back to host detection just because num_proc > 1)
-            results = self._load_wave_device(
-                list(range(len(batch))), batch, keep_raw)
+        dump_mode = bool(self.opt.read_dump or self.opt.write_dump
+                         or self.opt.print_raw)
+        if dump_mode and self._events_engine() == "device":
+            # dumps/print-raw need the sequential host fetch order; be
+            # loud that detection therefore runs on the host
+            if not getattr(self, "_warned_dump_host", False):
+                self._warned_dump_host = True
+                sys.stderr.write(
+                    "[f5c-tpu] --print-raw/--write-dump/--read-dump "
+                    "use the sequential host loader; events-engine "
+                    "device is ignored for this run\n")
+        if batch and not dump_mode and self._events_engine() == "device":
+            # plain (non-wave) loader with the on-device detector
+            # (fetch threads via _host_pool; the worker process pool is
+            # bypassed — an explicit --events-engine device must not
+            # silently fall back to host detection just because
+            # num_proc > 1).  Detect in length-sorted 32-read chunks so
+            # the padded (B, S_max) signal slab never blows up on one
+            # long read (the wave schedule's shape discipline).
+            order = sorted(range(len(batch)),
+                           key=lambda i: len(batch[i].seq))
+            results = [None] * len(batch)
+            for c0 in range(0, len(order), 32):
+                w = order[c0:c0 + 32]
+                for j, r in zip(w, self._load_wave_device(
+                        w, batch, keep_raw)):
+                    results[j] = r
+            results = [(batch[i].qname, results[i][1])
+                       for i in range(len(batch))]
         else:
             args = [(r.qname, r.signal_path, r.seq, keep_raw)
                     for r in batch]
@@ -1108,9 +1128,10 @@ class Pipeline:
         events for wave N+1 — the TPU reshape of the reference's
         3-stage pipeline + concurrent CPU/GPU split (meth_main.c:610-742,
         f5c.cu:647-1061) collapsed to one thread, with every transfer
-        asynchronous.  Each wave's event slab is uploaded once and the
-        slabs are concatenated ON DEVICE into the HMM scorer's resident
-        pool, so event means cross the tunnel exactly once per batch.
+        asynchronous.  Each wave's event slab is uploaded once and
+        serves directly as that wave's HMM scoring pool (no batch-wide
+        concat; reads the waves could not cover — ultra-long — are
+        re-uploaded by the leftover path in _meth_batch_native).
         """
         import jax.numpy as jnp
 
@@ -1321,8 +1342,10 @@ class Pipeline:
 
             # keep at most 2 launches in flight (2 padded traces
             # <= 2x TRACE_BYTES_BUDGET of HBM): decoding the oldest
-            # here overlaps the device filling the newest
-            if len(launches) - sync_i > 1:
+            # here overlaps the device filling the newest.  A wave can
+            # emit several launches (trace-budget splits), so drain
+            # down to the cap, not just one
+            while len(launches) - sync_i > 1:
                 sync_one()
 
         while sync_i < len(launches):
