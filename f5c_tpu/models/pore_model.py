@@ -122,8 +122,12 @@ class PoreModel:
     @staticmethod
     def load_npz(path: str) -> "PoreModel":
         z = np.load(path, allow_pickle=False)
+        k = int(z["k"])
+        if not 1 <= k <= 9:     # MAX_KMER_SIZE (f5c.h:30); the native
+            # emitters use 16-byte kmer buffers sized for this bound
+            raise ValueError(f"{path}: k-mer size {k} out of range (1..9)")
         return PoreModel(
-            k=int(z["k"]),
+            k=k,
             alphabet=str(z["alphabet"]),
             name=str(z["name"]),
             level_mean=z["level_mean"],

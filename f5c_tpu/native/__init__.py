@@ -342,6 +342,8 @@ def emit_eventalign_tsv(ref_position, event_idx, state, rc, ev_starts,
         if ln >= 0:
             raw = buf.raw[:ln]
             return raw if as_bytes else raw.decode("latin1")
+        if ln == -2:
+            raise ValueError(f"emit_eventalign_tsv: k={k} out of range")
         cap *= 2
 
 
@@ -352,10 +354,17 @@ def svb_zd_decode(blob: np.ndarray, n_expected: int | None = None
     blob = np.ascontiguousarray(blob, dtype=np.uint8)
     cap = n_expected if n_expected is not None else max(
         int.from_bytes(blob[:4].tobytes(), "little"), 1)
+    if cap > 4 * max(int(blob.shape[0]), 1):
+        # a corrupt count prefix must not drive a giant allocation:
+        # every decoded sample needs at least 1 data byte + 1/4 control
+        # byte, so count can never exceed 4x the blob size
+        raise ValueError("svb-zd: count prefix exceeds what the blob "
+                         "could encode (corrupt record)")
     out = np.empty(cap, dtype=np.int16)
     n = lib.f5c_svb_zd_decode(blob, blob.shape[0], out, cap)
     if n < 0:
-        raise ValueError("svb-zd: count exceeds buffer")
+        raise ValueError("svb-zd: truncated/corrupt blob"
+                         if n == -2 else "svb-zd: count exceeds buffer")
     return out[:n]
 
 
@@ -377,6 +386,8 @@ def viterbi_chunk(ranks: np.ndarray, rank_start: int, rank_stride: int,
     """One eventalign chunk Viterbi on the host; returns movements u8
     (walk order, device contract) of length n_steps."""
     lib = get_lib()
+    if n_kmers < 1 or n_events < 1:
+        return np.zeros(0, dtype=np.uint8)
     movs = np.empty(n_events + n_kmers + 4, dtype=np.uint8)
     # materialise the (tiny) window contiguously; C walks stride 1
     if rank_stride == 1:
@@ -386,6 +397,12 @@ def viterbi_chunk(ranks: np.ndarray, rank_start: int, rank_stride: int,
         rview = np.ascontiguousarray(
             ranks[rank_start - n_kmers + 1:rank_start + 1][::-1],
             dtype=np.int32)
+    if rview.shape[0] != n_kmers:
+        # a window past the rank array's edge would make C read a
+        # shorter buffer than it was promised (silent OOB) — fail loud
+        raise ValueError(
+            f"viterbi_chunk: rank window [{rank_start} x{rank_stride} "
+            f"n={n_kmers}] exceeds rank array ({ranks.shape[0]})")
     n = lib.f5c_viterbi_chunk(
         rview, 1, n_kmers,
         np.ascontiguousarray(ev_pool, dtype=np.float32), e_start, stride,
@@ -403,6 +420,14 @@ def decode_postalign(packed_dirs: np.ndarray, n: int, start_event: int,
 
     lib = get_lib()
     n_kmers = ranks.shape[0]
+    packed_dirs = np.ascontiguousarray(packed_dirs)
+    if n > 0 and ((n + 3) // 4 > packed_dirs.shape[0]
+                  or not 0 <= start_event < event_means.shape[0]):
+        # walk metadata inconsistent with its buffers (device/transfer
+        # fault): fail cleanly instead of letting C read out of bounds
+        return (False, np.zeros((n, 2), np.int32),
+                np.full(n_kmers, -1, np.int32),
+                np.full(n_kmers, -1, np.int32), 0.0, Scalings())
     pairs_k = np.empty(n, dtype=np.int32)
     pairs_e = np.empty(n, dtype=np.int32)
     b2e_start = np.empty(n_kmers, dtype=np.int32)
@@ -412,12 +437,16 @@ def decode_postalign(packed_dirs: np.ndarray, n: int, start_event: int,
     scale = _f32()
     var = _f32()
     ok = lib.f5c_decode_postalign(
-        np.ascontiguousarray(packed_dirs), n, start_event,
+        packed_dirs, n, start_event,
         np.ascontiguousarray(ranks, dtype=np.int32), n_kmers,
         np.ascontiguousarray(event_means, dtype=np.float32),
         level_mean, level_stdv, min_num_events_to_rescale,
         pairs_k, pairs_e, b2e_start, b2e_stop, ctypes.byref(epb),
         ctypes.byref(shift), ctypes.byref(scale), ctypes.byref(var))
+    if ok < 0:   # corrupt walk detected mid-decode
+        return (False, np.zeros((n, 2), np.int32),
+                np.full(n_kmers, -1, np.int32),
+                np.full(n_kmers, -1, np.int32), 0.0, Scalings())
     sc = Scalings(shift=float(shift.value), scale=float(scale.value),
                   var=float(var.value)) if ok else Scalings()
     pairs = np.stack([pairs_k, pairs_e], axis=1)
@@ -482,6 +511,14 @@ def decode_qc_postalign(packed_dirs: np.ndarray, n: int, start_event: int,
 
     lib = get_lib()
     n_kmers = ranks.shape[0]
+    packed_dirs = np.ascontiguousarray(packed_dirs)
+    if n > 0 and ((n + 3) // 4 > packed_dirs.shape[0]
+                  or not 0 <= start_event < event_means.shape[0]):
+        # inconsistent device walk metadata: report a QC failure
+        return (True, False, np.zeros((max(n, 1), 2), np.int32),
+                np.full(n_kmers, -1, np.int32),
+                np.full(n_kmers, -1, np.int32), 0.0, Scalings(),
+                0.0, 0)
     pairs_k = np.empty(max(n, 1), dtype=np.int32)
     pairs_e = np.empty(max(n, 1), dtype=np.int32)
     b2e_start = np.empty(n_kmers, dtype=np.int32)
@@ -494,7 +531,7 @@ def decode_qc_postalign(packed_dirs: np.ndarray, n: int, start_event: int,
     max_gap = _i32()
     failed = _i32()
     ok = lib.f5c_decode_qc_postalign(
-        np.ascontiguousarray(packed_dirs), n, start_event,
+        packed_dirs, n, start_event,
         np.ascontiguousarray(ranks, dtype=np.int32), n_kmers,
         np.ascontiguousarray(event_means, dtype=np.float32),
         level_mean, level_stdv, level_log_stdv,

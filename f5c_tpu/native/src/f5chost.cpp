@@ -939,7 +939,9 @@ static inline int fmt_i64(char* o, long long v) {
 
 static inline int fmt_fixed(char* o, double v, int prec) {
   static const double P[6] = {1, 10, 100, 1000, 10000, 100000};
-  if (!std::isfinite(v) || v >= 1e15 || v <= -1e15) {
+  // v * P[prec] must stay below 2^63 for the integer fast path
+  const double lim = 9e18 / P[prec];
+  if (!std::isfinite(v) || v >= lim || v <= -lim) {
     char f[8] = {'%', '.', (char)('0' + prec), 'f', 0};
     return sprintf(o, f, v);
   }
@@ -983,10 +985,15 @@ int64_t f5c_emit_eventalign_tsv(
   int64_t len = 0;
   float sqrt_var = sqrtf(var);
   char ref_kmer[16], model_kmer[16];
+  if (k <= 0 || k > 9) return -2;  // MAX_KMER_SIZE contract (f5c.h:30)
+  const int64_t cl0 = (int64_t)strlen(contig);
+  const int64_t nl0 = (int64_t)strlen(name_field);
   int64_t i = 0;
   while (i < n_records) {
-    // worst-case row length guard (plus samples, checked separately)
-    if (len + 512 > cap) return -1;
+    // worst-case row length guard: fixed fields are < 512 bytes, plus
+    // the caller-supplied contig/read names (BAM QNAMEs can be 254
+    // bytes and contig names are unbounded)
+    if (len + 512 + cl0 + nl0 > cap) return -1;
     int64_t e_i = event_idx[i];
     int64_t rp = ref_position[i];
     const char* rk = ref_disamb + (rp - ref_offset);
@@ -1055,12 +1062,10 @@ int64_t f5c_emit_eventalign_tsv(
 
     {
       char* o = out + len;
-      size_t cl = strlen(contig);
-      memcpy(o, contig, cl); o += cl; *o++ = '\t';
+      memcpy(o, contig, cl0); o += cl0; *o++ = '\t';
       o += fmt_i64(o, rp); *o++ = '\t';
       memcpy(o, ref_kmer, k); o += k; *o++ = '\t';
-      size_t nl = strlen(name_field);
-      memcpy(o, name_field, nl); o += nl;
+      memcpy(o, name_field, nl0); o += nl0;
       *o++ = '\t'; *o++ = 't'; *o++ = '\t';
       o += fmt_i64(o, e_i); *o++ = '\t';
       o += fmt_fixed(o, event_mean, 2); *o++ = '\t';
@@ -1137,6 +1142,9 @@ int64_t f5c_svb_zd_decode(const uint8_t* in, int64_t n_bytes,
   uint32_t count;
   memcpy(&count, in, 4);
   if ((int64_t)count > max_out) return -1;
+  // truncated/garbled blob: the control-byte region must fit before we
+  // walk it (the count prefix is attacker/corruption-controlled)
+  if (4 + (int64_t)((count + 3) / 4) > n_bytes) return -2;
   const uint8_t* key = in + 4;
   const uint8_t* data = key + ((count + 3) / 4);
   const uint8_t* end = in + n_bytes;
@@ -1182,6 +1190,7 @@ int64_t f5c_svb_zd_decode(const uint8_t* in, int64_t n_bytes,
     }
     int code = (k >> shift) & 3;
     uint32_t val = 0;
+    if (data + code + 1 > end) return -2;  // truncated data region
     memcpy(&val, data, code + 1);  // little-endian
     data += code + 1;
     shift += 2;
@@ -1249,6 +1258,7 @@ int64_t f5c_viterbi_chunk(
     const float* level_mean, const float* level_stdv,
     const float* level_log_stdv,
     uint8_t* movements_out) {
+  if (n_kmers < 1 || n_events < 1) return 0;  // nothing to align
   const float NEGINF = -INFINITY;
   int64_t n_rows = n_events + 1;
   int64_t nb = n_kmers + 2;   // blocks incl. terminal 0 and n_kmers+1
@@ -1501,6 +1511,9 @@ int f5c_decode_postalign(
     float* var_out) {
   int64_t k = n_kmers - 1, e = start_event;
   for (int64_t i = 0; i < n; i++) {
+    // a corrupt walk (device/transfer fault) would drive k or e
+    // negative and turn the b2e scatter into an OOB write — bail
+    if (k < 0 || e < 0) return -1;
     // walk order is reverse path order; fill ascending from the back
     pairs_k[n - 1 - i] = (int32_t)k;
     pairs_e[n - 1 - i] = (int32_t)e;
@@ -1545,10 +1558,16 @@ int f5c_decode_qc_postalign(
   int64_t k = n_kmers - 1, e = start_event;
   int32_t gap = 0, max_gap = 0;
   int64_t last_k = -1;
+  *sum_em_out = 0.0f;
+  *max_gap_out = 0;
   // pass 1: serial walk — pairs + gap tracking only (the (k,e) chain is
   // inherently sequential, but stripped of the emission math it runs at
   // ~5 ops/step)
   for (int64_t i = 0; i < n; i++) {
+    if (k < 0 || e < 0) {  // corrupt walk: fail the read, never scatter
+      *failed_out = 1;
+      return 0;
+    }
     pairs_k[n - 1 - i] = (int32_t)k;
     pairs_e[n - 1 - i] = (int32_t)e;
     last_k = k;

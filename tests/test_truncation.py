@@ -109,6 +109,27 @@ def test_truncated_bam_fails_cleanly(tmp_path):
             pass
 
 
+def test_svb_zd_truncation_raises(blow5):
+    """The native svb-zd decoder bounds every read by the blob size:
+    truncated blobs and corrupt count prefixes raise ValueError instead
+    of reading out of bounds (f5chost.cpp f5c_svb_zd_decode)."""
+    from f5c_tpu import native
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(3)
+    s = rng.integers(-500, 500, 4096).astype(np.int16)
+    blob = native.svb_zd_encode(s)
+    np.testing.assert_array_equal(native.svb_zd_decode(blob), s)
+    for cut in (4, 16, blob.shape[0] // 2, blob.shape[0] - 1):
+        with pytest.raises(ValueError):
+            native.svb_zd_decode(blob[:cut])
+    huge = blob.copy()
+    huge[:4] = np.frombuffer((1 << 30).to_bytes(4, "little"), np.uint8)
+    with pytest.raises(ValueError):
+        native.svb_zd_decode(huge)
+
+
 def test_corrupt_idx_rebuilds(blow5, tmp_path):
     """A corrupt .idx next to a healthy BLOW5 is rebuilt, not fatal."""
     import shutil
