@@ -249,6 +249,7 @@ def main(argv=None):
     p.add_argument("--events-engine", choices=["auto", "host", "device"],
                    default="auto",
                    help="event-detection engine (see call-methylation)")
+    p.add_argument("--verbose", type=int, default=0)
     p.add_argument("--fast5-dir", action="append", default=[],
                    help="FAST5 directory (repeatable)")
     p.add_argument("--slow5", help="SLOW5/BLOW5 signal file")

@@ -32,7 +32,8 @@ def _make_pipeline_bare(args):
                   kmer_model_path=getattr(args, "kmer_model", None),
                   batch_reads=getattr(args, "batchsize", 512),
                   device=getattr(args, "device", "auto"),
-                  events_engine=getattr(args, "events_engine", "auto"))
+                  events_engine=getattr(args, "events_engine", "auto"),
+                  verbose=getattr(args, "verbose", 0))
     if getattr(args, "profile", None):
         from ..profiles import apply_profile
 
