@@ -99,6 +99,39 @@ def _add_common_meth_args(p):
     p.add_argument("--print-scaling", action="store_true",
                    help="dump calibrated scalings (debug oracle)")
     p.add_argument("--verbose", type=int, default=0)
+    _add_cuda_compat_args(p)
+
+
+def _add_cuda_compat_args(p, full=True):
+    """Accept the reference's CUDA tuning knobs (meth_main.c:76-84) so
+    f5c command lines are drop-in; they have no effect on the TPU/JAX
+    backend — a warning points at the TPU-native equivalents (the
+    reference's non-CUDA build likewise accepts them, warning only for
+    --disable-cuda, meth_main.c:313)."""
+    g = p.add_argument_group("CUDA compatibility (accepted, no effect)")
+    g.add_argument("--disable-cuda", choices=["yes", "no"], default=None,
+                   help="no effect (use --device cpu to force host JAX)")
+    g.add_argument("--cuda-dev-id", default=None, help=argparse.SUPPRESS)
+    g.add_argument("--cuda-mem-frac", default=None, help=argparse.SUPPRESS)
+    if full:
+        g.add_argument("--cuda-block-size", default=None,
+                       help=argparse.SUPPRESS)
+        g.add_argument("--cuda-max-lf", default=None, help=argparse.SUPPRESS)
+        g.add_argument("--cuda-avg-epk", default=None, help=argparse.SUPPRESS)
+        g.add_argument("--cuda-max-epk", default=None, help=argparse.SUPPRESS)
+
+
+def _warn_cuda_compat(args):
+    names = ("disable_cuda", "cuda_dev_id", "cuda_mem_frac",
+             "cuda_block_size", "cuda_max_lf", "cuda_avg_epk",
+             "cuda_max_epk")
+    given = [n.replace("_", "-") for n in names
+             if getattr(args, n, None) is not None]
+    if given:
+        print(f"WARNING: --{', --'.join(given)}: CUDA knobs have no "
+              "effect on the TPU backend (batching is tuned via -K/-B, "
+              "F5C_TPU_WAVE and F5C_TPU_TRACE_BYTES; see USAGE.md)",
+              file=sys.stderr)
 
 
 def _kmg(s: str) -> int:
@@ -267,8 +300,10 @@ def main(argv=None):
                    help="PAF output with ss string (default TSV)")
     p.add_argument("--device", choices=["auto", "cpu"], default="auto")
     p.add_argument("-o", "--output", default="-")
+    _add_cuda_compat_args(p, full=False)
 
     args = ap.parse_args(argv)
+    _warn_cuda_compat(args)
     t0 = time.time()
 
     # --dist: join the jax.distributed coordination service BEFORE any
