@@ -152,6 +152,24 @@ def _declare(lib):
         _i8p, _i64p,
         _i32p, _i64p, _i64p, _u8p, _u8p,
         _int, ctypes.c_void_p, _i32p]
+    lib.f5c_freq_new.restype = ctypes.c_void_p
+    lib.f5c_freq_new.argtypes = [_int, _int, ctypes.c_double]
+    lib.f5c_freq_accumulate.restype = _i64
+    lib.f5c_freq_accumulate.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
+                                        _i64]
+    lib.f5c_freq_rejects.restype = _i64
+    lib.f5c_freq_rejects.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_void_p),
+        ctypes.POINTER(_i64), ctypes.POINTER(ctypes.c_void_p)]
+    lib.f5c_freq_update.restype = None
+    lib.f5c_freq_update.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, _i64, _i64, _i64, _i32,
+        ctypes.c_char_p, _i64, _i64, _i64]
+    lib.f5c_freq_emit.restype = _i64
+    lib.f5c_freq_emit.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
+                                  ctypes.POINTER(ctypes.c_void_p)]
+    lib.f5c_freq_free.restype = None
+    lib.f5c_freq_free.argtypes = [ctypes.c_void_p]
     lib.f5c_hmm_assemble.restype = None
     lib.f5c_hmm_assemble.argtypes = [
         _i64, _i64, _i64, _int,

@@ -14,6 +14,7 @@
 // ABI: plain C functions over caller-allocated NumPy buffers (ctypes).
 
 #include <algorithm>
+#include <cctype>
 #include <cfloat>
 #include <chrono>
 #include <cmath>
@@ -21,6 +22,8 @@
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
+#include <string>
+#include <unordered_map>
 #include <vector>
 
 // lightweight phase profiling for the hot native entry points, enabled
@@ -1927,5 +1930,285 @@ void f5c_hmm_window_ranks(
     n_km[i] = (int32_t)nk;
   }
 }
+
+// ---------------------------------------------------------------------------
+// meth-freq aggregation (reference src/freq.c; oracle pipeline/freq.py).
+// Stateful accumulator: the Python driver streams the TSV body through
+// f5c_freq_accumulate in large chunks; lines the strict parser is not
+// certain about (anything Python's int()/float() might treat differently)
+// are handed back verbatim via f5c_freq_rejects so the Python engine can
+// apply its exact semantics (including raising the located malformed-line
+// error).  Decisions (|llr| >= threshold, llr > 0) are double-precision,
+// matching the Python engine bit for bit.
+// ---------------------------------------------------------------------------
+
+struct FreqSite {
+  int32_t group_size;
+  int64_t num_reads, called, meth;
+  std::string seq;
+};
+
+struct FreqKey {
+  int32_t chrom;
+  int64_t s, e;
+  bool operator==(const FreqKey& o) const {
+    return chrom == o.chrom && s == o.s && e == o.e;
+  }
+};
+
+struct FreqKeyHash {
+  size_t operator()(const FreqKey& k) const {
+    uint64_t h = (uint64_t)(uint32_t)k.chrom;
+    h = (h ^ (uint64_t)k.s) * 0x9E3779B97F4A7C15ull;
+    h = (h ^ (h >> 29) ^ (uint64_t)k.e) * 0xBF58476D1CE4E5B9ull;
+    return (size_t)(h ^ (h >> 32));
+  }
+};
+
+struct FreqState {
+  int version = 1;
+  int split_groups = 0;
+  double thresh = 2.5;
+  int64_t next_lineno = 2;  // body starts after the header line
+  std::vector<std::string> chroms;
+  std::unordered_map<std::string, int32_t> chrom_ids;
+  std::unordered_map<FreqKey, FreqSite, FreqKeyHash> sites;
+  std::string rejects;               // '\n'-terminated verbatim lines
+  std::vector<int64_t> reject_lines; // absolute 1-based line numbers
+  std::string out;                   // emit buffer
+  int32_t last_chrom_id = -1;
+  std::string last_chrom;
+};
+
+// strict int64 field parse mirroring Python int(): optional surrounding
+// whitespace and sign, decimal digits only; anything else (underscores,
+// hex, overflow past 18 digits) is "uncertain" -> caller rejects the line
+// to the Python engine.
+static bool freq_i64(const char* b, const char* e, int64_t* v) {
+  while (b < e && isspace((unsigned char)*b)) b++;
+  bool neg = false;
+  if (b < e && (*b == '+' || *b == '-')) neg = (*b++ == '-');
+  if (b >= e || !isdigit((unsigned char)*b)) return false;
+  uint64_t x = 0;
+  int nd = 0;
+  while (b < e && isdigit((unsigned char)*b)) {
+    if (++nd > 18) return false;
+    x = x * 10 + (uint64_t)(*b++ - '0');
+  }
+  while (b < e && isspace((unsigned char)*b)) b++;
+  if (b != e) return false;
+  *v = neg ? -(int64_t)x : (int64_t)x;
+  return true;
+}
+
+static bool freq_f64(const char* b, const char* e, double* v) {
+  size_t n = (size_t)(e - b);
+  char tmp[64];
+  if (n == 0 || n >= sizeof(tmp)) return false;
+  // strtod accepts hex floats ("0x1p3"); Python float() does not
+  for (size_t i = 0; i < n; i++) {
+    if (b[i] == 'x' || b[i] == 'X' || b[i] == '_') return false;
+    tmp[i] = b[i];
+  }
+  tmp[n] = 0;
+  char* end = nullptr;
+  double x = strtod(tmp, &end);
+  if (end == tmp) return false;
+  while (*end && isspace((unsigned char)*end)) end++;
+  if (*end) return false;
+  *v = x;
+  return true;
+}
+
+static int32_t freq_chrom_id(FreqState* S, const char* b, const char* e) {
+  size_t n = (size_t)(e - b);
+  if (S->last_chrom_id >= 0 && S->last_chrom.size() == n &&
+      memcmp(S->last_chrom.data(), b, n) == 0)
+    return S->last_chrom_id;
+  std::string s(b, e);
+  auto it = S->chrom_ids.find(s);
+  int32_t id;
+  if (it == S->chrom_ids.end()) {
+    id = (int32_t)S->chroms.size();
+    S->chroms.push_back(s);
+    S->chrom_ids.emplace(std::move(s), id);
+  } else {
+    id = it->second;
+  }
+  S->last_chrom = S->chroms[(size_t)id];
+  S->last_chrom_id = id;
+  return id;
+}
+
+static void freq_site_update(FreqState* S, int32_t cid, int64_t s, int64_t e,
+                             int32_t gsz, const char* seq, size_t seq_len,
+                             int64_t called_inc, int64_t meth_inc) {
+  FreqKey k{cid, s, e};
+  auto it = S->sites.find(k);
+  if (it == S->sites.end())
+    it = S->sites
+             .emplace(k, FreqSite{gsz, 0, 0, 0, std::string(seq, seq_len)})
+             .first;
+  it->second.num_reads += 1;
+  it->second.called += called_inc;
+  it->second.meth += meth_inc;
+}
+
+// One body line (without its '\n'; one trailing '\r' already stripped by
+// the caller to match Python universal newlines).  Returns false when the
+// line must be re-processed by the Python engine.
+static bool freq_line(FreqState* S, const char* b, const char* e) {
+  const char* p = b;
+  while (p < e && isspace((unsigned char)*p)) p++;
+  if (p == e) return true;  // blank line: skipped (freq.py:46)
+  const char* fs[12];
+  const char* fe[12];
+  int nf = 0;
+  p = b;
+  while (nf < 12) {
+    const char* t = (const char*)memchr(p, '\t', (size_t)(e - p));
+    fs[nf] = p;
+    fe[nf] = t ? t : e;
+    nf++;
+    if (!t) break;
+    p = t + 1;
+  }
+  int ic, is_, ie_, il, in_, iq;
+  if (S->version == 2) {
+    ic = 0; is_ = 2; ie_ = 3; il = 5; in_ = 9; iq = 10;
+  } else {
+    ic = 0; is_ = 1; ie_ = 2; il = 4; in_ = 8; iq = 9;
+  }
+  if (nf <= iq) return false;  // too few columns: Python raises
+  int64_t start, end2, num64;
+  double llr;
+  if (!freq_i64(fs[is_], fe[is_], &start)) return false;
+  if (!freq_i64(fs[ie_], fe[ie_], &end2)) return false;
+  if (!freq_f64(fs[il], fe[il], &llr)) return false;
+  if (!freq_i64(fs[in_], fe[in_], &num64)) return false;
+  if (num64 < 0 || num64 > INT32_MAX) return false;
+  if (fabs(llr) < S->thresh) return true;  // below call threshold
+  int64_t meth1 = llr > 0 ? 1 : 0;
+  int32_t cid = freq_chrom_id(S, fs[ic], fe[ic]);
+  const char* sq = fs[iq];
+  const char* sqe = fe[iq];
+  if (S->split_groups && num64 > 1) {
+    long first = -1;
+    for (const char* q = sq; q + 1 < sqe; q++)
+      if (q[0] == 'C' && q[1] == 'G') {
+        first = (long)(q - sq);
+        break;
+      }
+    if (first >= 0) {
+      for (const char* q = sq + first; q + 1 < sqe; q++) {
+        if (q[0] == 'C' && q[1] == 'G') {
+          int64_t pos = start + (q - sq) - first;
+          freq_site_update(S, cid, pos, pos, 1, "split-group", 11, 1, meth1);
+        }
+      }
+    }
+  } else {
+    freq_site_update(S, cid, start, end2, (int32_t)num64, sq,
+                     (size_t)(sqe - sq), num64, meth1 ? num64 : 0);
+  }
+  return true;
+}
+
+void* f5c_freq_new(int version, int split_groups, double thresh) {
+  FreqState* S = new FreqState();
+  S->version = version;
+  S->split_groups = split_groups;
+  S->thresh = thresh;
+  return S;
+}
+
+// Consumes complete lines from buf; returns bytes consumed (the caller
+// carries any trailing partial line into the next chunk).
+int64_t f5c_freq_accumulate(void* stv, const char* buf, int64_t n) {
+  FreqState* S = (FreqState*)stv;
+  int64_t pos = 0;
+  while (pos < n) {
+    const char* nl = (const char*)memchr(buf + pos, '\n', (size_t)(n - pos));
+    if (!nl) break;
+    int64_t len = nl - (buf + pos);
+    int64_t body = len;
+    if (body > 0 && buf[pos + body - 1] == '\r') body--;  // CRLF
+    if (!freq_line(S, buf + pos, buf + pos + body)) {
+      S->rejects.append(buf + pos, (size_t)body);
+      S->rejects.push_back('\n');
+      S->reject_lines.push_back(S->next_lineno);
+    }
+    S->next_lineno++;
+    pos = (nl - buf) + 1;
+  }
+  return pos;
+}
+
+// Lines the strict parser handed back; the Python engine re-processes
+// them with exact CPython number semantics (or raises the located error).
+int64_t f5c_freq_rejects(void* stv, const char** data, int64_t* data_len,
+                         const int64_t** linenos) {
+  FreqState* S = (FreqState*)stv;
+  *data = S->rejects.data();
+  *data_len = (int64_t)S->rejects.size();
+  *linenos = S->reject_lines.data();
+  return (int64_t)S->reject_lines.size();
+}
+
+// Direct site update, used by the Python engine for reject lines.
+void f5c_freq_update(void* stv, const char* chrom, int64_t chrom_len,
+                     int64_t start, int64_t end, int32_t group_size,
+                     const char* seq, int64_t seq_len, int64_t called_inc,
+                     int64_t meth_inc) {
+  FreqState* S = (FreqState*)stv;
+  int32_t cid = freq_chrom_id(S, chrom, chrom + chrom_len);
+  freq_site_update(S, cid, start, end, group_size, seq, (size_t)seq_len,
+                   called_inc, meth_inc);
+}
+
+// Sorted (chrom bytes, start, end) table, header included; the returned
+// pointer stays valid until f5c_freq_free.
+int64_t f5c_freq_emit(void* stv, const char* motif_word, const char** data) {
+  FreqState* S = (FreqState*)stv;
+  struct Row {
+    const std::string* cn;
+    FreqKey k;
+    const FreqSite* st;
+  };
+  std::vector<Row> rows;
+  rows.reserve(S->sites.size());
+  for (auto& kv : S->sites)
+    rows.push_back(Row{&S->chroms[(size_t)kv.first.chrom], kv.first,
+                       &kv.second});
+  std::sort(rows.begin(), rows.end(), [](const Row& a, const Row& b) {
+    int c = a.cn->compare(*b.cn);
+    if (c) return c < 0;
+    if (a.k.s != b.k.s) return a.k.s < b.k.s;
+    return a.k.e < b.k.e;
+  });
+  std::string& o = S->out;
+  o.clear();
+  o += "chromosome\tstart\tend\tnum_";
+  o += motif_word;
+  o += "_in_group\tcalled_sites\tcalled_sites_methylated\t"
+       "methylated_frequency\tgroup_sequence\n";
+  char tmp[96];
+  for (auto& r : rows) {
+    if (r.st->called <= 0) continue;
+    double f = (double)r.st->meth / (double)r.st->called;
+    o += *r.cn;
+    int h = snprintf(tmp, sizeof tmp, "\t%lld\t%lld\t%d\t%lld\t%lld\t%.3f\t",
+                     (long long)r.k.s, (long long)r.k.e,
+                     (int)r.st->group_size, (long long)r.st->called,
+                     (long long)r.st->meth, f);
+    o.append(tmp, (size_t)h);
+    o += r.st->seq;
+    o += '\n';
+  }
+  *data = o.data();
+  return (int64_t)o.size();
+}
+
+void f5c_freq_free(void* stv) { delete (FreqState*)stv; }
 
 }  // extern "C"

@@ -92,3 +92,78 @@ def test_freq_merge(tmp_path):
     r = rows[("chr1", "10")]
     assert r[4] == "10" and r[5] == "5" and r[6] == "0.500"
     assert ("chr1", "20") in rows and ("chr2", "5") in rows
+
+
+def _freq_both_engines(path, monkeypatch, **kw):
+    """Run meth_freq on a file through both engines; returns (py, native)
+    as (output, error-str) pairs."""
+    import os
+
+    outs = []
+    for eng in ("python", "native"):
+        monkeypatch.setenv("F5C_TPU_FREQ_ENGINE", eng)
+        buf = io.StringIO()
+        err = None
+        try:
+            with open(path) as fh:
+                meth_freq(fh, out=buf, **kw)
+        except ValueError as e:
+            err = str(e)
+        outs.append((buf.getvalue(), err))
+    return outs
+
+
+@pytest.fixture()
+def _needs_native():
+    from f5c_tpu import native
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+
+
+def test_meth_freq_native_engine(tmp_path, monkeypatch, _needs_native):
+    """The C++ accumulator (f5chost.cpp f5c_freq_*) is byte-identical to
+    the Python engine, including split-groups mode and the vendored
+    full-dataset fixture."""
+    p = tmp_path / "calls.tsv"
+    p.write_text(METH_TSV)
+    py, nat = _freq_both_engines(str(p), monkeypatch)
+    assert py == nat and py[1] is None and py[0]
+    py, nat = _freq_both_engines(str(p), monkeypatch, split_groups=True)
+    assert py == nat
+
+    exp = "/root/reference/test/ecoli_2kb_region/meth.exp"
+    import os
+    if os.path.exists(exp):
+        big = tmp_path / "full.tsv"
+        big.write_text(METH_TSV.splitlines()[0] + "\n" + open(exp).read())
+        py, nat = _freq_both_engines(str(big), monkeypatch)
+        assert py == nat and py[0].count("\n") > 100
+
+
+def test_meth_freq_native_reject_path(tmp_path, monkeypatch, _needs_native):
+    """Lines the strict native parser can't be certain about (CPython
+    number spellings: underscores, inf/nan) fall back to exact Python
+    semantics; CRLF, blank lines and a missing final newline normalise
+    identically; malformed rows raise the same located error."""
+    hdr = METH_TSV.splitlines()[0] + "\n"
+    p = tmp_path / "weird.tsv"
+    with open(p, "w", newline="") as f:
+        f.write(hdr
+                + "chr1\t10\t10\tr1\t2_5.0\t-1\t-2\t1\t1\tAACGA\n"
+                + "chr1\t20\t20\tr2\tinf\t-1\t-2\t1\t1\tAACGA\r\n"
+                + "   \n\n"
+                + "chr1\t3_0\t30\tr3\t5.0\t-1\t-2\t1\t1\tAACGA\n"
+                + "chr1\t40\t40\tr4\tnan\t-1\t-2\t1\t1\tAACGA\n"
+                + "chr1\t50\t50\tr5\t-9.0\t-1\t-2\t1\t1\tTTCGA")
+    py, nat = _freq_both_engines(str(p), monkeypatch)
+    assert py == nat and py[1] is None
+    assert "chr1\t30\t" in py[0]          # underscore int parsed as 30
+
+    bad = tmp_path / "bad.tsv"
+    bad.write_text(hdr + "chr1\t10\t10\tr1\t5.0\t-1\t-2\t1\t1\tAACGA\n"
+                       + "chr1\tfoo\t10\tr1\tbad\n")
+    py, nat = _freq_both_engines(str(bad), monkeypatch)
+    assert py[1] and nat[1]
+    assert "line 3" in py[1] and "line 3" in nat[1]
+    assert py[1] == nat[1]
