@@ -14,6 +14,8 @@ from __future__ import annotations
 
 import os
 import struct
+
+import numpy as np
 from dataclasses import dataclass
 
 from .bgzf import BgzfReader
@@ -312,7 +314,9 @@ def write_bam(path: str, references: list[tuple[str, int]], records,
     with qname/flag/tid/pos/mapq/cigar/seq fields."""
     from .bgzf import BgzfWriter
 
-    _nt16 = {c: i for i, c in enumerate(_SEQ_NT16)}
+    nt16_tab = bytes(
+        _SEQ_NT16.index(chr(c)) if chr(c) in _SEQ_NT16 else 15
+        for c in range(256))
     with BgzfWriter(path) as w:
         if not header_text:
             header_text = "".join(
@@ -328,18 +332,16 @@ def write_bam(path: str, references: list[tuple[str, int]], records,
             cig = b"".join(struct.pack("<I", (ln << 4) | op)
                            for op, ln in r.cigar)
             seq = r.seq
-            packed = bytearray((len(seq) + 1) // 2)
-            for i, c in enumerate(seq):
-                v = _nt16.get(c, 15)
-                if i % 2 == 0:
-                    packed[i >> 1] = v << 4
-                else:
-                    packed[i >> 1] |= v
+            codes = np.frombuffer(seq.encode().translate(nt16_tab),
+                                  np.uint8)
+            if codes.shape[0] % 2:
+                codes = np.concatenate([codes, np.zeros(1, np.uint8)])
+            packed = ((codes[0::2] << 4) | codes[1::2]).astype(np.uint8)
             qual = b"\xff" * len(seq)
             body = (struct.pack("<iiBBHHHiiii", r.tid, r.pos, len(qname),
                                 r.mapq, 0, len(r.cigar), r.flag, len(seq),
                                 -1, -1, 0)
-                    + qname + cig + bytes(packed) + qual)
+                    + qname + cig + packed.tobytes() + qual)
             w.write(struct.pack("<i", len(body)) + body)
 
 
