@@ -37,6 +37,7 @@ CMATCH, CINS, CDEL, CREF_SKIP, CSOFT_CLIP, CHARD_CLIP, CPAD, CEQUAL, CDIFF = (
 _REF_CONSUME = {CMATCH, CDEL, CREF_SKIP, CEQUAL, CDIFF}
 
 _SEQ_NT16 = "=ACMGRSVTWYHKDBN"
+_NT16_DECODE = bytes.maketrans(bytes(range(16)), _SEQ_NT16.encode())
 
 
 @dataclass
@@ -162,11 +163,12 @@ class BamRecord:
 
     @property
     def seq(self) -> str:
-        out = []
-        for i in range(self.l_seq):
-            b = self._seq_packed[i >> 1]
-            out.append(_SEQ_NT16[(b >> 4) if i % 2 == 0 else (b & 0xF)])
-        return "".join(out)
+        b = np.frombuffer(self._seq_packed, np.uint8)
+        codes = np.empty(b.shape[0] * 2, np.uint8)
+        codes[0::2] = b >> 4
+        codes[1::2] = b & 0xF
+        return (codes[:self.l_seq].tobytes()
+                .translate(_NT16_DECODE).decode("ascii"))
 
     def ref_end(self) -> int:
         """One past the last reference base consumed (bam_endpos)."""
