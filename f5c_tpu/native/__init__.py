@@ -170,6 +170,10 @@ def _declare(lib):
                                   ctypes.POINTER(ctypes.c_void_p)]
     lib.f5c_freq_free.restype = None
     lib.f5c_freq_free.argtypes = [ctypes.c_void_p]
+    lib.f5c_freq_merge.restype = _i64
+    lib.f5c_freq_merge.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), _i64, _int,
+        ctypes.POINTER(_i64), ctypes.POINTER(_i64)]
     lib.f5c_hmm_assemble.restype = None
     lib.f5c_hmm_assemble.argtypes = [
         _i64, _i64, _i64, _int,

@@ -26,6 +26,8 @@
 #include <unordered_map>
 #include <vector>
 
+#include <unistd.h>
+
 // lightweight phase profiling for the hot native entry points, enabled
 // by F5C_NATIVE_PROF=1 (read once); accumulators drained by
 // f5c_prof_get.  Slots: 0=viterbi fill+backtrace, 1=decode/commit,
@@ -2210,5 +2212,299 @@ int64_t f5c_freq_emit(void* stv, const char* motif_word, const char** data) {
 }
 
 void f5c_freq_free(void* stv) { delete (FreqState*)stv; }
+
+// ---------------------------------------------------------------------------
+// freq-merge: k-way merge of sorted frequency tables (reference
+// src/freq_merge.c; oracle pipeline/freq.py freq_merge).  Same pick-the-
+// smallest-head algorithm as heapq.merge (ties to the lowest file index),
+// so output bytes match the Python engine for any input, sorted or not.
+// Only called/methylated/frequency are rewritten; all other bytes of the
+// surviving (first-encountered) row pass through verbatim.
+// ---------------------------------------------------------------------------
+
+// CPython-compatible int(): surrounding whitespace, sign, decimal digits
+// with single underscores strictly between digits.
+static bool fm_py_i64(const char* b, const char* e, int64_t* v) {
+  while (b < e && isspace((unsigned char)*b)) b++;
+  while (e > b && isspace((unsigned char)e[-1])) e--;
+  bool neg = false;
+  if (b < e && (*b == '+' || *b == '-')) neg = (*b++ == '-');
+  uint64_t x = 0;
+  int nd = 0;
+  bool last_us = true;
+  for (const char* p = b; p < e; p++) {
+    if (*p == '_') {
+      if (last_us) return false;
+      last_us = true;
+      continue;
+    }
+    if (!isdigit((unsigned char)*p)) return false;
+    if (++nd > 18) return false;
+    x = x * 10 + (uint64_t)(*p - '0');
+    last_us = false;
+  }
+  if (last_us) return false;  // no digits, or trailing underscore
+  *v = neg ? -(int64_t)x : (int64_t)x;
+  return true;
+}
+
+struct FMFile {
+  FILE* f = nullptr;
+  char* lp = nullptr;
+  size_t lcap = 0;
+  int64_t lineno = 1;  // header consumed as line 1
+  bool has = false;
+  // current row: verbatim slices + parsed numbers; the chromosome is
+  // prefix[0:chrom_len] (field 0), no separate copy
+  std::string prefix, suffix;
+  size_t chrom_len = 0;
+  int64_t s = 0, e = 0, called = 0, meth = 0;
+};
+
+// Advance to the next non-blank row; false at EOF.  *bad set on a row the
+// Python engine would also fail on (field count < 8 or non-int numbers).
+static bool fm_next(FMFile* F, bool* bad) {
+  *bad = false;
+  for (;;) {
+    ssize_t n = getline(&F->lp, &F->lcap, F->f);
+    if (n < 0) {
+      F->has = false;
+      return false;
+    }
+    F->lineno++;
+    while (n > 0 && (F->lp[n - 1] == '\n')) n--;
+    if (n > 0 && F->lp[n - 1] == '\r') n--;  // universal newlines
+    const char* b = F->lp;
+    const char* e = F->lp + n;
+    const char* p = b;
+    while (p < e && isspace((unsigned char)*p)) p++;
+    if (p == e) continue;  // blank line: skipped
+    const char* fs[9];
+    const char* fe[9];
+    int nf = 0;
+    p = b;
+    while (nf < 9) {
+      const char* t = (const char*)memchr(p, '\t', (size_t)(e - p));
+      fs[nf] = p;
+      fe[nf] = t ? t : e;
+      nf++;
+      if (!t) break;
+      p = t + 1;
+    }
+    if (nf < 8 || !fm_py_i64(fs[1], fe[1], &F->s) ||
+        !fm_py_i64(fs[2], fe[2], &F->e) ||
+        !fm_py_i64(fs[4], fe[4], &F->called) ||
+        !fm_py_i64(fs[5], fe[5], &F->meth)) {
+      *bad = true;
+      F->has = false;
+      return false;
+    }
+    F->chrom_len = (size_t)(fe[0] - fs[0]);
+    F->prefix.assign(b, fe[3]);          // fields 0..3 verbatim
+    F->suffix.assign(fs[7], e);          // fields 7.. verbatim
+    F->has = true;
+    return true;
+  }
+}
+
+static int fm_key_cmp(const char* ca, size_t na, int64_t sa, int64_t ea,
+                      const char* cb, size_t nb, int64_t sb, int64_t eb) {
+  int c = memcmp(ca, cb, na < nb ? na : nb);
+  if (c) return c;
+  if (na != nb) return na < nb ? -1 : 1;
+  if (sa != sb) return sa < sb ? -1 : 1;
+  if (ea != eb) return ea < eb ? -1 : 1;
+  return 0;
+}
+
+static char* fm_itoa(long long v, char* p) {
+  if (v < 0) {
+    *p++ = '-';
+    v = -v;
+  }
+  char t[24];
+  int k = 0;
+  do {
+    t[k++] = (char)('0' + v % 10);
+    v /= 10;
+  } while (v);
+  while (k) *p++ = t[--k];
+  return p;
+}
+
+// %.3f with printf's exact rounding: the fast path handles the certain
+// cases (multiply error << distance from the .0005 boundary); exact-tie
+// neighbourhoods and negatives/huge values go through sprintf itself.
+static char* fm_f3(double d, char* p) {
+  if (!(d >= 0) || d >= 9.2e15) return p + sprintf(p, "%.3f", d);
+  double t = d * 1000.0;
+  long long n = (long long)t;
+  double frac = t - (double)n;
+  long long digit;
+  if (frac > 0.5 + 1e-9)
+    digit = n + 1;
+  else if (frac < 0.5 - 1e-9)
+    digit = n;
+  else
+    return p + sprintf(p, "%.3f", d);
+  p = fm_itoa(digit / 1000, p);
+  long long r = digit % 1000;
+  *p++ = '.';
+  *p++ = (char)('0' + r / 100);
+  *p++ = (char)('0' + (r / 10) % 10);
+  *p++ = (char)('0' + r % 10);
+  return p;
+}
+
+struct FMOut {
+  FILE* f;
+  std::vector<char> buf;
+  size_t len = 0;
+  explicit FMOut(FILE* out) : f(out), buf((1 << 20) + 4096) {}
+  void put(const char* d, size_t n) {
+    if (len + n > buf.size()) {
+      flush();
+      if (n > buf.size()) {  // oversized row piece: write through
+        fwrite_unlocked(d, 1, n, f);
+        return;
+      }
+    }
+    memcpy(buf.data() + len, d, n);
+    len += n;
+  }
+  void flush() {
+    if (len) fwrite_unlocked(buf.data(), 1, len, f);
+    len = 0;
+  }
+};
+
+static void fm_emit(FMOut* out, const std::string& prefix, int64_t called,
+                    int64_t meth, const std::string& suffix) {
+  double f = called ? (double)meth / (double)called : 0.0;
+  char mid[96];
+  char* mp = mid;
+  *mp++ = '\t';
+  mp = fm_itoa(called, mp);
+  *mp++ = '\t';
+  mp = fm_itoa(meth, mp);
+  *mp++ = '\t';
+  mp = fm_f3(f, mp);
+  *mp++ = '\t';
+  out->put(prefix.data(), prefix.size());
+  out->put(mid, (size_t)(mp - mid));
+  out->put(suffix.data(), suffix.size());
+  out->put("\n", 1);
+}
+
+// Returns 0 ok; 1 differing headers; 2 malformed row (*err_file 0-based,
+// *err_line 1-based); 3 open/read failure (*err_file).  Writes the merged
+// table (header included) to a dup of out_fd.
+int64_t f5c_freq_merge(const char* const* paths, int64_t n_paths,
+                       int out_fd, int64_t* err_file, int64_t* err_line) {
+  std::vector<FMFile> files((size_t)n_paths);
+  FILE* out = nullptr;
+  FMOut* fmout = nullptr;
+  int64_t rc = 0;
+  std::string header;
+  *err_file = -1;
+  *err_line = -1;
+  for (int64_t i = 0; i < n_paths; i++) {
+    files[(size_t)i].f = fopen(paths[i], "rb");
+    if (!files[(size_t)i].f) {
+      *err_file = i;
+      rc = 3;
+      goto done;
+    }
+    setvbuf(files[(size_t)i].f, nullptr, _IOFBF, 1 << 20);
+    ssize_t n = getline(&files[(size_t)i].lp, &files[(size_t)i].lcap,
+                        files[(size_t)i].f);
+    if (n < 0) {
+      *err_file = i;
+      rc = 3;
+      goto done;
+    }
+    while (n > 0 && files[(size_t)i].lp[n - 1] == '\n') n--;
+    if (n > 0 && files[(size_t)i].lp[n - 1] == '\r') n--;
+    std::string h(files[(size_t)i].lp, (size_t)n);
+    if (i == 0) {
+      header = h;
+    } else if (h != header) {
+      rc = 1;
+      goto done;
+    }
+  }
+  out = fdopen(dup(out_fd), "w");
+  if (!out) {
+    rc = 3;
+    goto done;
+  }
+  fwrite(header.data(), 1, header.size(), out);
+  fputc('\n', out);
+  fmout = new FMOut(out);
+  {
+    bool bad = false;
+    for (int64_t i = 0; i < n_paths; i++) {
+      if (!fm_next(&files[(size_t)i], &bad) && bad) {
+        *err_file = i;
+        *err_line = files[(size_t)i].lineno;
+        rc = 2;
+        goto done;
+      }
+    }
+    bool have_pend = false;
+    std::string p_prefix, p_suffix;
+    size_t p_clen = 0;
+    int64_t p_s = 0, p_e = 0, p_called = 0, p_meth = 0;
+    for (;;) {
+      int64_t mi = -1;
+      for (int64_t i = 0; i < n_paths; i++) {
+        FMFile& F = files[(size_t)i];
+        if (!F.has) continue;
+        if (mi < 0 ||
+            fm_key_cmp(F.prefix.data(), F.chrom_len, F.s, F.e,
+                       files[(size_t)mi].prefix.data(),
+                       files[(size_t)mi].chrom_len, files[(size_t)mi].s,
+                       files[(size_t)mi].e) < 0)
+          mi = i;
+      }
+      if (mi < 0) break;
+      FMFile& F = files[(size_t)mi];
+      if (have_pend &&
+          fm_key_cmp(p_prefix.data(), p_clen, p_s, p_e, F.prefix.data(),
+                     F.chrom_len, F.s, F.e) == 0) {
+        p_called += F.called;
+        p_meth += F.meth;
+      } else {
+        if (have_pend) fm_emit(fmout, p_prefix, p_called, p_meth, p_suffix);
+        have_pend = true;
+        p_clen = F.chrom_len;
+        p_s = F.s;
+        p_e = F.e;
+        p_called = F.called;
+        p_meth = F.meth;
+        p_prefix.swap(F.prefix);   // fm_next refills F's buffers; the
+        p_suffix.swap(F.suffix);   // swap recycles allocations both ways
+      }
+      if (!fm_next(&F, &bad) && bad) {
+        *err_file = mi;
+        *err_line = F.lineno;
+        rc = 2;
+        goto done;
+      }
+    }
+    if (have_pend) fm_emit(fmout, p_prefix, p_called, p_meth, p_suffix);
+  }
+done:
+  if (fmout) {
+    fmout->flush();
+    delete fmout;
+  }
+  if (out) fclose(out);
+  for (auto& F : files) {
+    if (F.f) fclose(F.f);
+    free(F.lp);
+  }
+  return rc;
+}
 
 }  // extern "C"

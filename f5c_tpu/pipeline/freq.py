@@ -16,6 +16,7 @@ Two engines produce byte-identical tables:
 
 from __future__ import annotations
 
+import io
 import os
 import sys
 from dataclasses import dataclass, field
@@ -231,7 +232,28 @@ def _meth_freq_native(stream, call_threshold: float, split_groups: bool,
 
 def freq_merge(paths: list[str], out=sys.stdout):
     """k-way merge of sorted meth-freq TSVs, summing counts per site
-    (reference src/freq_merge.c)."""
+    (reference src/freq_merge.c).
+
+    File-descriptor outputs stream through the native C++ merge
+    (f5chost.cpp f5c_freq_merge, ~10x the Python loop) — byte-identical
+    pick-smallest-head semantics, ties to the lowest file index, only
+    the called/methylated/frequency columns rewritten.  StringIO outputs
+    (or F5C_TPU_FREQ_ENGINE=python) use the Python loop below, which is
+    the native engine's oracle."""
+    engine = os.environ.get("F5C_TPU_FREQ_ENGINE", "auto")
+    if engine != "python" and hasattr(out, "fileno"):
+        from .. import native
+
+        if native.available():
+            try:
+                fd = out.fileno()
+            except (OSError, ValueError, io.UnsupportedOperation):
+                fd = None
+            if fd is not None:
+                return _freq_merge_native(paths, out, fd)
+        if engine == "native":
+            raise RuntimeError("F5C_TPU_FREQ_ENGINE=native but the "
+                               "native library is unavailable")
     import heapq
 
     files = [open(p) for p in paths]
@@ -270,6 +292,38 @@ def freq_merge(paths: list[str], out=sys.stdout):
         _emit_freq_row(pend, out)
     for f in files:
         f.close()
+
+
+def _freq_merge_native(paths: list[str], out, fd: int):
+    """Stream the native k-way merge into out's file descriptor."""
+    import ctypes
+
+    from .. import native
+
+    lib = native.get_lib()
+    out.flush()
+    arr = (ctypes.c_char_p * len(paths))(*[p.encode() for p in paths])
+    ef = ctypes.c_int64(-1)
+    el = ctypes.c_int64(-1)
+    rc = lib.f5c_freq_merge(arr, len(paths), fd,
+                            ctypes.byref(ef), ctypes.byref(el))
+    if rc == 0:
+        return
+    if rc == 1:
+        raise ValueError("input files have differing headers")
+    if rc == 2:
+        name = paths[ef.value]
+        line = ""
+        with open(name) as f:
+            for i, text in enumerate(f, start=1):
+                if i == el.value:
+                    line = text
+                    break
+        raise ValueError(
+            f"malformed frequency TSV line {el.value} in {name}: "
+            f"{line[:80]!r}")
+    bad = paths[ef.value] if 0 <= ef.value < len(paths) else "<output>"
+    raise OSError(f"freq-merge: cannot open/read {bad}")
 
 
 def _emit_freq_row(c, out):

@@ -167,3 +167,61 @@ def test_meth_freq_native_reject_path(tmp_path, monkeypatch, _needs_native):
     assert py[1] and nat[1]
     assert "line 3" in py[1] and "line 3" in nat[1]
     assert py[1] == nat[1]
+
+
+def test_freq_merge_native_engine(tmp_path, monkeypatch, _needs_native):
+    """The native k-way merge (f5chost.cpp f5c_freq_merge) is
+    byte-identical to the Python engine: merged keys sum, ties take the
+    first file's row bytes, pass-through rows keep their extra columns,
+    header mismatch and malformed rows raise the same errors."""
+    h = ("chromosome\tstart\tend\tnum_cpgs_in_group\tcalled_sites\t"
+         "called_sites_methylated\tmethylated_frequency\tgroup_sequence\n")
+    a = tmp_path / "a.tsv"
+    b = tmp_path / "b.tsv"
+    c = tmp_path / "c.tsv"
+    a.write_text(h + "chr1\t10\t10\t1\t4\t1\t0.250\tAACGTT\n"
+                     "chr1\t20\t20\t1\t2\t2\t1.000\tAACGTT\textra\tcols\n"
+                     "chr2\t7\t9\t2\t3\t0\t0.000\tTTCGAA\n")
+    b.write_text(h + "chr1\t10\t10\t1\t6\t4\t0.667\tZZDIFFERENT\n"
+                     "chr1\t20\t20\t1\t1\t0\t0.000\tAACGTT\n"
+                     "chr2\t5\t5\t1\t1\t0\t0.000\tAACGTT\n\n")
+    c.write_text(h + "chr0\t1\t1\t1\t16\t16\t1.000\tCGCGCG\n")
+
+    def run(paths, eng):
+        monkeypatch.setenv("F5C_TPU_FREQ_ENGINE", eng)
+        p = tmp_path / f"out_{eng}.tsv"
+        with open(p, "w") as out:
+            freq_merge(paths, out=out)
+        return p.read_text()
+
+    paths = [str(a), str(b), str(c)]
+    got_py = run(paths, "python")
+    got_nat = run(paths, "native")
+    assert got_py == got_nat
+    # merged row sums counts but keeps the FIRST file's sequence bytes
+    assert "chr1\t10\t10\t1\t10\t5\t0.500\tAACGTT" in got_nat
+    assert "ZZDIFFERENT" not in got_nat
+    # pass-through keeps extra columns verbatim
+    assert "AACGTT\textra\tcols" in got_nat
+
+    # header mismatch: same error both engines
+    d = tmp_path / "d.tsv"
+    d.write_text("other\theader\nchr1\t1\t1\t1\t1\t1\t1.000\tA\n")
+    for eng in ("python", "native"):
+        monkeypatch.setenv("F5C_TPU_FREQ_ENGINE", eng)
+        with pytest.raises(ValueError, match="differing headers"):
+            with open(tmp_path / "x.tsv", "w") as out:
+                freq_merge([str(a), str(d)], out=out)
+
+    # malformed row: located error with the same line number
+    e = tmp_path / "e.tsv"
+    e.write_text(h + "chr1\t1\t1\t1\t1\t1\t1.000\tA\n"
+                   + "chr1\tnotanint\t2\t1\t1\t1\t1.000\tA\n")
+    errs = []
+    for eng in ("python", "native"):
+        monkeypatch.setenv("F5C_TPU_FREQ_ENGINE", eng)
+        with pytest.raises(ValueError) as ei:
+            with open(tmp_path / "y.tsv", "w") as out:
+                freq_merge([str(e)], out=out)
+        errs.append(str(ei.value))
+    assert "line 3" in errs[0] and "line 3" in errs[1]
