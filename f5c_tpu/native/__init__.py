@@ -174,6 +174,10 @@ def _declare(lib):
     lib.f5c_freq_merge.argtypes = [
         ctypes.POINTER(ctypes.c_char_p), _i64, _int,
         ctypes.POINTER(_i64), ctypes.POINTER(_i64)]
+    lib.f5c_emit_resquiggle_tsv.restype = _i64
+    lib.f5c_emit_resquiggle_tsv.argtypes = [
+        ctypes.c_char_p, _i64, _int, _i32p, _i32p, _i64, _i64p, _f32p,
+        ctypes.c_void_p, _i64]
     lib.f5c_hmm_assemble.restype = None
     lib.f5c_hmm_assemble.argtypes = [
         _i64, _i64, _i64, _int,
@@ -567,6 +571,31 @@ def decode_qc_postalign(packed_dirs: np.ndarray, n: int, start_event: int,
     pairs = np.stack([pairs_k[:n], pairs_e[:n]], axis=1)
     return (bool(failed.value), bool(ok), pairs, b2e_start, b2e_stop,
             float(epb.value), sc, float(sum_em.value), int(max_gap.value))
+
+
+def emit_resquiggle_tsv(qname: str, n_kmers: int, rna: bool,
+                        b2e_start: np.ndarray, b2e_stop: np.ndarray,
+                        ev_start: np.ndarray, ev_len: np.ndarray) -> str:
+    """One read's resquiggle TSV rows (oracle: the Python loop in
+    pipeline/resquiggle.py _emit_read)."""
+    lib = get_lib()
+    q = qname.encode()
+    cap = int(n_kmers) * (len(q) + 50) + 64
+    out = ctypes.create_string_buffer(cap)
+    n = lib.f5c_emit_resquiggle_tsv(
+        q, int(n_kmers), 1 if rna else 0,
+        np.ascontiguousarray(b2e_start, dtype=np.int32),
+        np.ascontiguousarray(b2e_stop, dtype=np.int32),
+        int(len(ev_start)),
+        np.ascontiguousarray(ev_start, dtype=np.int64),
+        np.ascontiguousarray(ev_len, dtype=np.float32),
+        out, cap)
+    if n == -2:
+        raise IndexError("resquiggle: event index out of range in the "
+                         "base-to-event map")
+    if n < 0:
+        raise RuntimeError("resquiggle TSV buffer overflow")
+    return out.raw[:n].decode("ascii")
 
 
 def disambiguate(seq: bytes) -> bytes:

@@ -2507,4 +2507,44 @@ done:
   return rc;
 }
 
+// resquiggle TSV rows (reference src/resquiggle.c:317-443; oracle: the
+// Python loop in pipeline/resquiggle.py _emit_read): per-kmer signal
+// start/end, '.' where unaligned.  Caller passes the (already
+// RNA-flipped) base-to-event map.  Returns bytes written, -1 on a full
+// buffer.
+int64_t f5c_emit_resquiggle_tsv(
+    const char* qname, int64_t n_kmers, int rna,
+    const int32_t* b2e_start, const int32_t* b2e_stop, int64_t n_events,
+    const int64_t* ev_start, const float* ev_len,
+    char* out, int64_t cap) {
+  size_t ql = strlen(qname);
+  char* p = out;
+  char* end = out + cap;
+  for (int64_t j = 0; j < n_kmers; j++) {
+    if (end - p < (int64_t)ql + 72) return -1;
+    memcpy(p, qname, ql);
+    p += ql;
+    *p++ = '\t';
+    p = fm_itoa(rna ? (n_kmers - j - 1) : j, p);
+    *p++ = '\t';
+    long long sig_s = -1, sig_e = -1;
+    int32_t se = b2e_start[j];
+    if (se != -1) {
+      // python-oracle indexing: negatives wrap (numpy), out-of-range is
+      // an error (-2) rather than a wild read
+      long long si = se < 0 ? se + n_events : se;
+      long long ei = b2e_stop[j];
+      if (ei < 0) ei += n_events;
+      if (si < 0 || si >= n_events || ei < 0 || ei >= n_events) return -2;
+      sig_s = (long long)ev_start[si];
+      sig_e = (long long)ev_start[ei] + (long long)ev_len[ei];
+    }
+    if (sig_s < 0) *p++ = '.'; else p = fm_itoa(sig_s, p);
+    *p++ = '\t';
+    if (sig_e < 0) *p++ = '.'; else p = fm_itoa(sig_e, p);
+    *p++ = '\n';
+  }
+  return p - out;
+}
+
 }  // extern "C"

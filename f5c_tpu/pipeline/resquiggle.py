@@ -145,6 +145,15 @@ def _emit_read(r, k: int, rna: bool, paf: bool, out):
     ev_start = r.event_starts
     ev_len = r.event_lengths
 
+    if not paf:
+        from .. import native
+
+        if native.available():
+            out.write(native.emit_resquiggle_tsv(
+                r.qname, n_kmers, rna, b2e_start, b2e_stop,
+                ev_start, ev_len))
+            return
+
     parts = []
     ci = 0
     d = 0
