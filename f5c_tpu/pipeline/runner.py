@@ -1280,14 +1280,12 @@ class Pipeline:
                 self.stage_time["align"] += time.time() - t0
                 continue
 
-            # ---- async H2D: this wave's event + rank slabs ----
+            # ---- async H2D: this wave's event slab + 2-bit seq ----
             ev_len = np.array([r.n_events for r in todo], np.int32)
-            rk_list = [ranks[id(r)] for r in todo]
-            rk_len = np.array([k.shape[0] for k in rk_list], np.int32)
+            rk_len = np.array([len(r.seq) - self.model.k + 1
+                               for r in todo], np.int32)
             ev_off = np.zeros(len(todo), np.int32)
             np.cumsum(ev_len[:-1], out=ev_off[1:])
-            rk_off = np.zeros(len(todo), np.int32)
-            np.cumsum(rk_len[:-1], out=rk_off[1:])
             # 32k-granular slab lengths keep launch-shape variants low
             # while the padded sum stays under the HMM pool's VMEM cap
             n_ev_wave = int(ev_len.sum())
@@ -1297,18 +1295,22 @@ class Pipeline:
             for r in todo:
                 slab[pos:pos + r.n_events] = r.event_means
                 pos += r.n_events
-            rk_slab = np.zeros(_bucket(int(rk_len.sum()),
-                                       minimum=1 << 14), rk_dtype)
-            pos = 0
-            for k in rk_list:
-                rk_slab[pos:pos + k.shape[0]] = k
-                pos += k.shape[0]
+            # ranks ride as 2-bit packed sequence (0.25 B/base instead
+            # of 2 B/base) and are recomputed on-device with k shifted
+            # adds — bit-identical to the host ranks for every lane the
+            # kernel consumes (ops/seq_ranks.py)
+            from ..ops.seq_ranks import pack_seqs, ranks_from_packed
+
+            packed, rk_off = pack_seqs([r.seq for r in todo],
+                                       pad_to=1 << 12)
             t_h2d = time.time()
             slab_dev = jnp.asarray(slab)
-            rk_slab_dev = jnp.asarray(rk_slab)
+            rk_slab_dev = ranks_from_packed(
+                jnp.asarray(packed), k=self.model.k,
+                use_i16=(rk_dtype == np.int16))
             self.stage_detail["align.h2d_enqueue"] += time.time() - t_h2d
             self.stage_detail["align.h2d_bytes"] += (slab.nbytes
-                                                    + rk_slab.nbytes)
+                                                    + packed.nbytes)
 
             # ---- dispatch this wave's fill+walk (no waiting) ----
             # a wave normally fits one launch; split when the padded
