@@ -109,6 +109,15 @@ def _declare(lib):
         _i32p, _i32p,
         ctypes.c_char_p, _i64p,
         ctypes.c_void_p, _i64]
+    lib.f5c_format_meth_rows_soa.restype = _i64
+    lib.f5c_format_meth_rows_soa.argtypes = [
+        ctypes.c_char_p, ctypes.c_char_p, _int, _i64,
+        _i64p, _i64p,
+        np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS"),
+        _i32p,
+        ctypes.c_char_p, _i64, _i64p, _i64p,
+        ctypes.c_void_p, _i64]
     lib.f5c_svb_zd_decode.restype = _i64
     lib.f5c_svb_zd_decode.argtypes = [_u8p, _i64, _i16p, _i64]
     lib.f5c_svb_zd_encode.restype = _i64
@@ -724,7 +733,7 @@ def format_meth_rows(contig: str, qname: str, strand: int, starts,
     seq_concat = "".join(seqs).encode()
     seq_off = np.zeros(n + 1, dtype=np.int64)
     np.cumsum([len(s) for s in seqs], out=seq_off[1:])
-    cap = (len(seq_concat) + n * (len(contig) + len(qname) + 96) + 64)
+    cap = (len(seq_concat) + n * (len(contig) + len(qname) + 224) + 64)
     out = ctypes.create_string_buffer(cap)
     w = lib.f5c_format_meth_rows(
         contig.encode(), qname.encode(), strand, n,
@@ -737,4 +746,31 @@ def format_meth_rows(contig: str, qname: str, strand: int, starts,
         seq_concat, seq_off, out, cap)
     if w < 0:
         raise RuntimeError("format_meth_rows overflow")
+    return out.raw[:w]
+
+
+def format_meth_rows_soa(contig: str, qname: str, strand: int, starts,
+                         ends, llm, llu, n_cpg, dis: bytes,
+                         seq_start, seq_end) -> bytes:
+    """format_meth_rows from struct-of-arrays device outputs: f32
+    scores (promoted to double in C exactly like the legacy Python
+    float()), sequences as [seq_start, seq_end) byte ranges into the
+    read's disambiguated reference segment ``dis``."""
+    lib = get_lib()
+    n = len(starts)
+    seq_start = np.ascontiguousarray(seq_start, np.int64)
+    seq_end = np.ascontiguousarray(seq_end, np.int64)
+    seq_bytes = int(np.maximum(seq_end - seq_start, 0).sum())
+    cap = seq_bytes + n * (len(contig) + len(qname) + 224) + 64
+    out = ctypes.create_string_buffer(cap)
+    w = lib.f5c_format_meth_rows_soa(
+        contig.encode(), qname.encode(), strand, n,
+        np.ascontiguousarray(starts, np.int64),
+        np.ascontiguousarray(ends, np.int64),
+        np.ascontiguousarray(llm, np.float32),
+        np.ascontiguousarray(llu, np.float32),
+        np.ascontiguousarray(n_cpg, np.int32),
+        dis, len(dis), seq_start, seq_end, out, cap)
+    if w < 0:
+        raise RuntimeError("format_meth_rows_soa overflow")
     return out.raw[:w]

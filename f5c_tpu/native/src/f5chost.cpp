@@ -1847,8 +1847,13 @@ void f5c_prof_get(double* out) {
 // Render one read's methylation TSV rows (f5c.c:1030-1062 format) in a
 // single call.  strand: 0 -> v1 layout (no strand column), '+'/'-' ->
 // v2.  llr = llm - llu computed in double, matching the Python float
-// property; %.2f and Python's :.2f are both correctly-rounded decimal
-// conversions, so rows are byte-identical to the Python renderer.
+// property; the fast fixed-point formatter (fm_f2 below, same
+// certainty-window scheme as the freq-merge emitter) and Python's :.2f
+// are both correctly-rounded decimal conversions, so rows stay
+// byte-identical to the Python renderer.
+static char* fm_itoa(long long v, char* p);
+static char* fm_f2(double d, char* p);
+
 int64_t f5c_format_meth_rows(
     const char* contig, const char* qname, int strand,
     int64_t n_rows,
@@ -1857,34 +1862,40 @@ int64_t f5c_format_meth_rows(
     const int32_t* strands_scored, const int32_t* n_cpg,
     const char* seq_concat, const int64_t* seq_off,
     char* out, int64_t cap) {
+  size_t cl = strlen(contig), ql = strlen(qname);
   int64_t w = 0;
   for (int64_t i = 0; i < n_rows; i++) {
-    int64_t room = cap - w;
-    if (room < 64) return -1;
-    int h;
-    if (strand == 0) {
-      h = snprintf(out + w, (size_t)room, "%s\t%lld\t%lld\t%s\t",
-                   contig, (long long)starts[i], (long long)ends[i],
-                   qname);
-    } else {
-      h = snprintf(out + w, (size_t)room, "%s\t%c\t%lld\t%lld\t%s\t",
-                   contig, (char)strand, (long long)starts[i],
-                   (long long)ends[i], qname);
-    }
-    if (h < 0 || h >= room) return -1;
-    w += h;
-    room = cap - w;
-    double llr = llm[i] - llu[i];
-    h = snprintf(out + w, (size_t)room, "%.2f\t%.2f\t%.2f\t%d\t%d\t",
-                 llr, llm[i], llu[i], (int)strands_scored[i],
-                 (int)n_cpg[i]);
-    if (h < 0 || h >= room) return -1;
-    w += h;
     int64_t sl = seq_off[i + 1] - seq_off[i];
-    if (cap - w < sl + 1) return -1;
-    memcpy(out + w, seq_concat + seq_off[i], (size_t)sl);
-    w += sl;
-    out[w++] = '\n';
+    if (cap - w < (int64_t)(cl + ql + sl) + 192) return -1;
+    char* p = out + w;
+    memcpy(p, contig, cl);
+    p += cl;
+    *p++ = '\t';
+    if (strand != 0) {
+      *p++ = (char)strand;
+      *p++ = '\t';
+    }
+    p = fm_itoa((long long)starts[i], p);
+    *p++ = '\t';
+    p = fm_itoa((long long)ends[i], p);
+    *p++ = '\t';
+    memcpy(p, qname, ql);
+    p += ql;
+    *p++ = '\t';
+    p = fm_f2(llm[i] - llu[i], p);
+    *p++ = '\t';
+    p = fm_f2(llm[i], p);
+    *p++ = '\t';
+    p = fm_f2(llu[i], p);
+    *p++ = '\t';
+    p = fm_itoa(strands_scored[i], p);
+    *p++ = '\t';
+    p = fm_itoa(n_cpg[i], p);
+    *p++ = '\t';
+    memcpy(p, seq_concat + seq_off[i], (size_t)sl);
+    p += sl;
+    *p++ = '\n';
+    w = p - out;
   }
   return w;
 }
@@ -1931,6 +1942,61 @@ void f5c_hmm_window_ranks(
     }
     n_km[i] = (int32_t)nk;
   }
+}
+
+// Struct-of-arrays variant: scores arrive as the device f32 arrays
+// (promoted to double exactly like the Python float() the legacy path
+// used), sequences as [seq_start, seq_end) byte ranges into the
+// disambiguated reference segment, and strands_scored is the constant
+// 1 of the single-strand caller (f5c.c:1030-1062 rows).  Rows are
+// byte-identical to f5c_format_meth_rows / the Python renderer.
+int64_t f5c_format_meth_rows_soa(
+    const char* contig, const char* qname, int strand,
+    int64_t n_rows,
+    const int64_t* starts, const int64_t* ends,
+    const float* llm, const float* llu, const int32_t* n_cpg,
+    const char* dis, int64_t dis_len,
+    const int64_t* seq_start, const int64_t* seq_end,
+    char* out, int64_t cap) {
+  size_t cl = strlen(contig), ql = strlen(qname);
+  int64_t w = 0;
+  for (int64_t i = 0; i < n_rows; i++) {
+    int64_t s0 = seq_start[i] < 0 ? 0 : seq_start[i];
+    int64_t s1 = seq_end[i] > dis_len ? dis_len : seq_end[i];
+    int64_t sl = s1 > s0 ? s1 - s0 : 0;
+    if (cap - w < (int64_t)(cl + ql) + sl + 192) return -1;
+    char* p = out + w;
+    memcpy(p, contig, cl);
+    p += cl;
+    *p++ = '\t';
+    if (strand != 0) {
+      *p++ = (char)strand;
+      *p++ = '\t';
+    }
+    p = fm_itoa((long long)starts[i], p);
+    *p++ = '\t';
+    p = fm_itoa((long long)ends[i], p);
+    *p++ = '\t';
+    memcpy(p, qname, ql);
+    p += ql;
+    *p++ = '\t';
+    double m = (double)llm[i], u = (double)llu[i];
+    p = fm_f2(m - u, p);
+    *p++ = '\t';
+    p = fm_f2(m, p);
+    *p++ = '\t';
+    p = fm_f2(u, p);
+    *p++ = '\t';
+    *p++ = '1';
+    *p++ = '\t';
+    p = fm_itoa(n_cpg[i], p);
+    *p++ = '\t';
+    memcpy(p, dis + s0, (size_t)sl);
+    p += sl;
+    *p++ = '\n';
+    w = p - out;
+  }
+  return w;
 }
 
 // ---------------------------------------------------------------------------
@@ -2352,6 +2418,33 @@ static char* fm_f3(double d, char* p) {
   *p++ = '.';
   *p++ = (char)('0' + r / 100);
   *p++ = (char)('0' + (r / 10) % 10);
+  *p++ = (char)('0' + r % 10);
+  return p;
+}
+
+// %.2f with printf's exact rounding (same certainty-window scheme as
+// fm_f3); negatives route through the sign so -0.00 matches printf.
+static char* fm_f2(double d, char* p) {
+  if (d != d) return p + sprintf(p, "%.2f", d);
+  if (std::signbit(d)) {
+    *p++ = '-';
+    d = -d;
+  }
+  if (d >= 9.2e15) return p + sprintf(p, "%.2f", d);
+  double t = d * 100.0;
+  long long n = (long long)t;
+  double frac = t - (double)n;
+  long long digit;
+  if (frac > 0.5 + 1e-9)
+    digit = n + 1;
+  else if (frac < 0.5 - 1e-9)
+    digit = n;
+  else
+    return p + sprintf(p, "%.2f", d);
+  p = fm_itoa(digit / 100, p);
+  long long r = digit % 100;
+  *p++ = '.';
+  *p++ = (char)('0' + r / 10);
   *p++ = (char)('0' + r % 10);
   return p;
 }

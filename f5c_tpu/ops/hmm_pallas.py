@@ -317,56 +317,6 @@ def hmm_forward_pallas(ranks, n_km, ev_pool, ev_start_fwd, ev_stride,
     return jnp.max(out.reshape(N, SEGS, SEG), axis=-1)
 
 
-@functools.partial(jax.jit, static_argnames=("SEG", "allow_pre",
-                                             "allow_post", "interpret"))
-def hmm_forward_pallas_buf(buf, ev_pool, level_mean, level_stdv,
-                           level_log_stdv, SEG: int,
-                           allow_pre: bool = True,
-                           allow_post: bool = True,
-                           interpret: bool = False):
-    """hmm_forward_pallas fed by ONE packed u8 buffer.
-
-    Over a high-latency host<->device link, uploading ten small arrays
-    per dispatch costs ten transfer round-trips; the caller packs them
-    into one (N, 256 + 36*SEGS) byte matrix (pack_hmm_args) uploaded
-    once, and this wrapper bitcasts the columns back on device — XLA
-    fuses the bitcasts into the consumers, so the device-side cost is
-    nil and scores are bit-identical to the unpacked call.
-    """
-    N = buf.shape[0]
-    SEGS = PAD // SEG
-    parts = []
-    off = 256
-    ranks = jax.lax.bitcast_convert_type(
-        buf[:, :256].reshape(N, PAD, 2), jnp.int16)
-    for dt in (jnp.int32, jnp.int32, jnp.int32, jnp.int32,
-               jnp.float32, jnp.float32, jnp.float32,
-               jnp.float32, jnp.float32):
-        parts.append(jax.lax.bitcast_convert_type(
-            buf[:, off:off + 4 * SEGS].reshape(N, SEGS, 4), dt))
-        off += 4 * SEGS
-    (n_km, ev_start, stride, n_ev,
-     scale, shift, var, lp_stay, lp_step) = parts
-    return hmm_forward_pallas(
-        ranks, n_km, ev_pool, ev_start, stride, n_ev, scale, shift,
-        var, lp_stay, lp_step, level_mean, level_stdv, level_log_stdv,
-        SEG=SEG, allow_pre=allow_pre, allow_post=allow_post,
-        interpret=interpret)
-
-
-def pack_hmm_args(args):
-    """Pack the 10 per-window host arrays of hmm_forward_pallas into
-    one u8 matrix for hmm_forward_pallas_buf (ranks must be int16)."""
-    ranks = args[0]
-    n_rows = ranks.shape[0]
-    segs = args[1].shape[1]
-    buf = np.empty((n_rows, 256 + 36 * segs), np.uint8)
-    assert ranks.dtype == np.int16
-    buf[:, :256].view(np.int16)[:] = ranks
-    off = 256
-    for a in args[1:]:
-        w = 4 * segs
-        assert a.dtype.itemsize == 4
-        buf[:, off:off + w].view(a.dtype)[:] = a
-        off += w
-    return buf
+# (the single-packed-buffer upload variant that once lived here was
+# superseded by ops/hmm_meta.py, which rebuilds every scorer input on
+# device from 2-bit packed reference + 16 B/window metadata)

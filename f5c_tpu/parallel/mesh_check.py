@@ -69,6 +69,8 @@ def _run_align(tmp_root: str, tag: str, mesh: bool, n_reads: int):
         out = {}
         for r in batch:
             scored = sites.get(id(r), {})
+            if hasattr(scored, "to_sites"):   # MethCalls fast path
+                scored = scored.to_sites()
             out[r.qname] = (
                 int(r.status),
                 None if r.pairs is None else r.pairs.copy(),

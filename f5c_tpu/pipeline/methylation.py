@@ -172,6 +172,52 @@ class MethGroup:
     site: ScoredSite
 
 
+class MethCalls:
+    """One read's methylation calls as struct-of-arrays.
+
+    The native pipeline's fast assemble path: ascending-unique start
+    positions (native collect_meth_groups scans CpGs left to right)
+    with parallel end/n_cpg/score arrays and the read's disambiguated
+    reference segment for sequence rendering — no per-site Python
+    objects (the 42k-ScoredSite loop used to dominate the hmm stage's
+    host time).  ``to_sites()`` expands to the legacy ScoredSite dict
+    for consumers that want objects (mesh parity checks, tests).
+    """
+
+    __slots__ = ("starts", "ends", "n_cpg", "llu", "llm", "dis",
+                 "r_pos", "k")
+
+    def __init__(self, starts, ends, n_cpg, llu, llm, dis: bytes,
+                 r_pos: int, k: int):
+        self.starts = starts
+        self.ends = ends
+        self.n_cpg = n_cpg
+        self.llu = llu
+        self.llm = llm
+        self.dis = dis
+        self.r_pos = r_pos
+        self.k = k
+
+    def __len__(self):
+        return len(self.starts)
+
+    def to_sites(self) -> dict:
+        k = self.k
+        r_pos = self.r_pos
+        dis = self.dis
+        out = {}
+        for j, start in enumerate(self.starts.tolist()):
+            end = int(self.ends[j])
+            first = start - r_pos
+            out[start] = ScoredSite(
+                start_position=start, end_position=end,
+                n_cpg=int(self.n_cpg[j]),
+                sequence=dis[first - k + 1:end - r_pos + k].decode(),
+                ll_unmethylated=float(self.llu[j]),
+                ll_methylated=float(self.llm[j]))
+        return out
+
+
 def collect_meth_groups(ref_seq: str, ref_start_pos: int, cigar, is_reverse,
                         read_length: int, b2e_start: np.ndarray, k: int,
                         max_event_to_bp_ratio: float = 20.0

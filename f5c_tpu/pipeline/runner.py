@@ -665,31 +665,6 @@ class Pipeline:
         self._events_engine_cached = eng
         return eng
 
-    def _hmm_packbuf(self) -> bool:
-        """Packed single-buffer HMM upload (ops/hmm_pallas.py
-        pack_hmm_args): one H2D per dispatch instead of ten.  Explicit
-        F5C_TPU_HMM_PACKBUF=0/1 wins; otherwise measured — pack when
-        the dispatch round-trip is slow (tunnelled links), send the
-        plain arrays on attached chips where ten small async copies are
-        free and the host-side pack is not.  Scores are bit-identical
-        either way (tests/test_hmm_packbuf.py)."""
-        env = os.environ.get("F5C_TPU_HMM_PACKBUF")
-        if env is not None:
-            return env == "1"
-        cached = getattr(self, "_hmm_packbuf_cached", None)
-        if cached is None:
-            import jax
-
-            if self._interpret_kernels() or \
-                    jax.default_backend() == "cpu":
-                cached = False
-            else:
-                from .eventalign import measured_dispatch_overhead
-
-                cached = measured_dispatch_overhead() >= 5e-3
-            self._hmm_packbuf_cached = cached
-        return cached
-
     def _load_wave_device(self, w, batch, keep_raw: bool):
         """Load stage of the DEVICE events engine: fetch raw signals,
         run the batched on-device detector, then per-read ranks + MoM
@@ -1682,7 +1657,9 @@ class Pipeline:
 
     def meth_batch(self, batch: list[ReadRecord]):
         """CpG group collection + batched device HMM; returns
-        {read -> {start_pos -> ScoredSite}} keeping batch order."""
+        {read -> MethCalls} (native path; struct-of-arrays) or
+        {read -> {start_pos -> ScoredSite}} (fallback), keeping batch
+        order."""
         from .. import native
 
         states = getattr(self, "_meth_states", None)
@@ -1895,21 +1872,56 @@ class Pipeline:
 
         sizes = np.abs(it_e2 - it_e1) + 1
         ksizes = (it_sub_end - it_sub_start + 1) - k + 1
-        it_epb = read_epb[it_read].astype(np.float64)
-        p_stay = 1.0 - 1.0 / it_epb
+        epb64 = read_epb.astype(np.float64)
+        p_stay_rd = 1.0 - 1.0 / epb64
         from ..constants import HMM_P_BAD, HMM_P_SKIP
 
-        it_lp_stay = np.log(p_stay).astype(np.float32)
-        it_lp_step = np.log(1.0 - p_stay - HMM_P_SKIP - HMM_P_BAD).astype(
-            np.float32)
+        rd_lp_stay = np.log(p_stay_rd).astype(np.float32)
+        rd_lp_step = np.log(1.0 - p_stay_rd - HMM_P_SKIP
+                            - HMM_P_BAD).astype(np.float32)
         it_ev_start = (ev_off[it_read] + it_e1).astype(np.int32)
         it_stride = np.where(it_e2 >= it_e1, 1, -1).astype(np.int32)
         it_n_ev = sizes.astype(np.int32)
         it_scale = read_scale[it_read]
         it_shift = read_shift[it_read]
         it_var = read_var[it_read]
+        it_lp_stay = rd_lp_stay[it_read]
+        it_lp_step = rd_lp_step[it_read]
 
         from ..ops.hmm_pallas import hmm_forward_pallas
+
+        devs = self._mesh_devices()
+        meta_state = None
+        if not devs and os.environ.get("F5C_TPU_HMM_META", "1") != "0":
+            # compact device-side assembly (ops/hmm_meta.py): ship the
+            # 2-bit packed reference + a per-read scalar table + 16 B
+            # of metadata per window; ranks and all per-window arrays
+            # are rebuilt on device, bit-identical to the host path
+            from ..ops.seq_ranks import pack_codes, seq_codes
+
+            t_pk = time.time()
+            codes = seq_codes(ref_concat + b"\0\0\0\0\0\0\0\0")
+            packed_ref = pack_codes(codes, pad_to=1 << 12)
+            n_rd = _bucket(len(reads), minimum=8)
+            read_tab = np.zeros((n_rd, 8), np.float32)
+            read_tab[:len(reads), 0] = read_scale
+            read_tab[:len(reads), 1] = read_shift
+            read_tab[:len(reads), 2] = read_var
+            read_tab[:len(reads), 3] = rd_lp_stay
+            read_tab[:len(reads), 4] = rd_lp_step
+            read_tab[:len(reads), 5] = read_rc
+            read_tab[len(reads):, 2] = 1.0   # var != 0 in padding
+            it_gstart = (ref_off[it_read]
+                         + it_sub_start).astype(np.int32)
+            it_wlen = (it_sub_end - it_sub_start + 1).astype(np.int32)
+            t_h2d = time.time()
+            packed_ref_dev = jnp.asarray(packed_ref)
+            read_tab_dev = jnp.asarray(read_tab)
+            meta_state = (it_gstart, it_wlen, packed_ref_dev,
+                          read_tab_dev)
+            self.stage_detail["hmm.pack_host"] += t_h2d - t_pk
+            self.stage_detail["hmm.h2d_bytes"] += (packed_ref.nbytes
+                                                   + read_tab.nbytes)
 
         pending = []   # dispatch everything async; _meth_finish syncs
         order = np.argsort(sizes, kind="stable")
@@ -1928,6 +1940,30 @@ class Pipeline:
             n_sub = idxs.shape[0]
             n_rows = max(_nbucket(-(-n_sub // segs)), 8)
             n_alloc = n_rows * segs
+            if meta_state is not None:
+                from ..ops.hmm_meta import hmm_forward_meta, pack_meta
+
+                it_gstart, it_wlen, packed_ref_dev, read_tab_dev = \
+                    meta_state
+                t_pk = time.time()
+                meta = np.zeros((n_alloc, 16), np.uint8)
+                meta[:n_sub] = pack_meta(
+                    it_gstart[idxs], it_ev_start[idxs],
+                    it_stride[idxs] * it_n_ev[idxs], it_wlen[idxs],
+                    it_meth[idxs], it_read[idxs])
+                self.stage_detail["hmm.pack_host"] += time.time() - t_pk
+                self.stage_detail["hmm.h2d_bytes"] += meta.nbytes
+                t_disp = time.time()
+                s = hmm_forward_meta(
+                    jnp.asarray(meta), packed_ref_dev, read_tab_dev,
+                    ev_pool, lm_dev, ls_dev, ll_dev, SEG=seg, k=k,
+                    use_i16=(self.cpg_model.num_kmers <= 32767),
+                    interpret=self._interpret_kernels())
+                self.stage_detail["hmm.dispatch_enqueue"] += (
+                    time.time() - t_disp)
+                self.stage_detail["hmm.n_dispatch"] += 1
+                pending.append((idxs, n_sub, s))
+                continue
             t_rk = time.time()
             ranks, n_km = native.hmm_window_ranks(
                 n_sub, n_alloc, seg, k, ref_concat, ref_off,
@@ -1952,7 +1988,6 @@ class Pipeline:
             self.stage_detail["hmm.h2d_bytes"] += sum(a.nbytes
                                                       for a in args)
             t_disp = time.time()
-            devs = self._mesh_devices()
             if devs and n_rows >= 2 * len(devs):
                 # deal window-rows round-robin over the device mesh;
                 # the event pool is replicated (read-only)
@@ -1977,15 +2012,6 @@ class Pipeline:
                 # un-deal: row r's scores live at ss[r % D, r // D]
                 s = jnp.transpose(ss, (1, 0, 2)).reshape(
                     D * n_rows_d, segs)[:n_rows]
-            elif (self._hmm_packbuf() and args[0].dtype == np.int16):
-                # one H2D transfer instead of ten (tunnelled hosts)
-                from ..ops.hmm_pallas import (hmm_forward_pallas_buf,
-                                              pack_hmm_args)
-
-                s = hmm_forward_pallas_buf(
-                    jnp.asarray(pack_hmm_args(args)), ev_pool,
-                    lm_dev, ls_dev, ll_dev, SEG=seg,
-                    interpret=self._interpret_kernels())
             else:
                 s = hmm_forward_pallas(
                     *(jnp.asarray(a) for a in args[:2]), ev_pool,
@@ -2037,13 +2063,16 @@ class Pipeline:
         return (reads, group_arrays, ref_disamb, n_items, pending)
 
     def _meth_finish(self, states):
-        """Sync the dispatched HMM scores and aggregate ScoredSites
-        (kept per read in batch order)."""
-        from .methylation import ScoredSite
+        """Sync the dispatched HMM scores and keep them per read as
+        struct-of-arrays (MethCalls) in batch order — the per-site
+        ScoredSite loop this replaces cost ~0.3 s of host time per
+        42k-site batch; rendering happens natively on the writer
+        thread (_render_meth_rows)."""
+        from .methylation import MethCalls
 
         t0 = time.time()
         k = self.cpg_model.k
-        out_sites: dict[int, dict] = {}
+        out_sites: dict[int, MethCalls] = {}
         for reads, group_arrays, ref_disamb, n_items, pending in states:
             scores = np.zeros(n_items, dtype=np.float32)
             t_sync = time.time()
@@ -2053,32 +2082,17 @@ class Pipeline:
             # host work
             t_assemble = time.time()
             self.stage_detail["hmm.score_sync"] += t_assemble - t_sync
-            # plain-list iteration: numpy scalar indexing costs ~100ns
-            # per field access, which dominated this loop (~28us/group)
-            sc_list = scores.tolist()
             gi = 0
             for ri, r in enumerate(reads):
                 g = group_arrays[ri]
-                site_map = out_sites.setdefault(id(r), {})
-                dis = ref_disamb[ri]
-                r_pos = r.pos
-                starts = g["start_pos"].tolist()
-                ends = g["end_pos"].tolist()
-                ncpgs = g["n_cpg"].tolist()
-                for j, start in enumerate(starts):
-                    site = site_map.get(start)
-                    if site is None:
-                        first = start - r_pos
-                        site = ScoredSite(
-                            start_position=start,
-                            end_position=ends[j],
-                            n_cpg=ncpgs[j],
-                            sequence=dis[first - k + 1
-                                         : ends[j] - r_pos + k].decode())
-                        site_map[start] = site
-                    site.ll_unmethylated = sc_list[2 * gi]
-                    site.ll_methylated = sc_list[2 * gi + 1]
-                    gi += 1
+                n_g = g["start_pos"].shape[0]
+                out_sites[id(r)] = MethCalls(
+                    starts=g["start_pos"], ends=g["end_pos"],
+                    n_cpg=g["n_cpg"],
+                    llu=scores[2 * gi:2 * (gi + n_g):2].copy(),
+                    llm=scores[2 * gi + 1:2 * (gi + n_g):2].copy(),
+                    dis=ref_disamb[ri], r_pos=r.pos, k=k)
+                gi += n_g
             self.stage_detail["hmm.assemble_host"] += (time.time()
                                                        - t_assemble)
         self.stage_time["hmm"] += time.time() - t0
@@ -2296,11 +2310,39 @@ class Pipeline:
 
 
 def _render_meth_rows(contig: str, qname: str, is_reverse: bool,
-                      site_map: dict, out_version: int,
+                      site_map, out_version: int,
                       clip_start: int, clip_end: int):
     """One read's methylation TSV rows (f5c.c:1030-1062 format)."""
     from .. import native
+    from .methylation import MethCalls
 
+    if isinstance(site_map, MethCalls):
+        mc = site_map
+        if native.available():
+            starts = np.asarray(mc.starts)
+            ends = np.asarray(mc.ends)
+            ncpg = np.asarray(mc.n_cpg)
+            llu, llm = mc.llu, mc.llm
+            if clip_start != -1 or clip_end != -1:
+                keep = np.ones(starts.shape[0], bool)
+                if clip_start != -1:
+                    keep &= starts >= clip_start
+                if clip_end != -1:
+                    keep &= ends < clip_end
+                if not keep.all():
+                    starts, ends, ncpg = (starts[keep], ends[keep],
+                                          ncpg[keep])
+                    llu, llm = llu[keep], llm[keep]
+            if starts.shape[0] == 0:
+                return b""
+            strand = (0 if out_version == 1
+                      else ord("-") if is_reverse else ord("+"))
+            seq_start = starts - mc.r_pos - (mc.k - 1)
+            seq_end = ends - mc.r_pos + mc.k
+            return native.format_meth_rows_soa(
+                contig, qname, strand, starts, ends, llm, llu, ncpg,
+                mc.dis, seq_start, seq_end)
+        site_map = mc.to_sites()
     sites = [site_map[s] for s in sorted(site_map)
              # window clip (f5c.c:1046-1047)
              if not ((clip_start != -1

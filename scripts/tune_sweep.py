@@ -1,7 +1,7 @@
 #!/usr/bin/env python3
 """On-chip tuning sweep for the call-methylation pipeline.
 
-Sweeps the runtime-read knobs (F5C_TPU_WAVE, F5C_TPU_HMM_PACKBUF,
+Sweeps the runtime-read knobs (F5C_TPU_WAVE, F5C_TPU_HMM_META,
 F5C_TPU_EVENTS_ENGINE) inside ONE process so compiled kernels are
 reused across configs wherever launch shapes coincide.  Each config is
 run twice (first run pays any new-shape compiles) and the second wall
@@ -37,7 +37,7 @@ def main():
         out = os.path.join(tmp, "o.tsv")
 
         def run_config(cfg, label):
-            for k in ("F5C_TPU_WAVE", "F5C_TPU_HMM_PACKBUF",
+            for k in ("F5C_TPU_WAVE", "F5C_TPU_HMM_META",
                       "F5C_TPU_EVENTS_ENGINE"):
                 os.environ.pop(k, None)
             os.environ.update(cfg)
@@ -80,8 +80,8 @@ def main():
                 best = (cfg, rec["reads_per_s"])
         bw = best[0]["F5C_TPU_WAVE"]
         for pk in ("0", "1"):
-            run_config(dict(F5C_TPU_WAVE=bw, F5C_TPU_HMM_PACKBUF=pk),
-                       f"wave={bw} packbuf={pk}")
+            run_config(dict(F5C_TPU_WAVE=bw, F5C_TPU_HMM_META=pk),
+                       f"wave={bw} hmm_meta={pk}")
         run_config(dict(F5C_TPU_WAVE=bw, F5C_TPU_EVENTS_ENGINE="device"),
                    f"wave={bw} events=device")
         results.sort(key=lambda r: -r["reads_per_s"])

@@ -1,6 +1,8 @@
-"""F5C_TPU_HMM_PACKBUF: the single-buffer HMM upload path must score
-bit-identically to the ten-array path (pack_hmm_args + on-device
-bitcasts, ops/hmm_pallas.py)."""
+"""F5C_TPU_HMM_META: the compact device-side HMM input assembly
+(ops/hmm_meta.py — 2-bit packed reference + per-read table + 16 B of
+metadata per window, ranks rebuilt on device with window-edge
+corrections) must score bit-identically to the host-assembled path
+(native hmm_window_ranks + per-window arrays)."""
 
 import os
 import subprocess
@@ -41,18 +43,18 @@ write_bam(bam, [(n, fa.entries[n].length) for n in names], recs)
 ReadDB(reads).build(fast5_dirs=[os.path.join(ECOLI, "fast5_files")])
 outs = []
 for flag in ("1", "0"):
-    os.environ["F5C_TPU_HMM_PACKBUF"] = flag
+    os.environ["F5C_TPU_HMM_META"] = flag
     pipe = Pipeline(bam, genome, reads, Options(min_mapq=0, meth_out_version=1))
     p = os.path.join(tmp, f"m{flag}.tsv")
     with open(p, "w") as out:
         pipe.call_methylation(out=out)
     outs.append(p)
-assert filecmp.cmp(outs[0], outs[1], shallow=False), "packbuf != plain"
-print("PACKBUF_OK")
+assert filecmp.cmp(outs[0], outs[1], shallow=False), "meta != host-assembled"
+print("HMM_META_OK")
 """
 
 
-def test_packbuf_matches_plain():
+def test_meta_matches_host_assembled():
     env = dict(os.environ)
     env.update({"PALLAS_AXON_POOL_IPS": "", "JAX_PLATFORMS": "cpu",
                 "F5C_TPU_INTERPRET": "1", "F5C_TPU_MESH": "0"})
@@ -62,4 +64,4 @@ def test_packbuf_matches_plain():
          _SCRIPT % dict(repo=REPO, ecoli=ECOLI)],
         env=env, capture_output=True, text=True, timeout=840)
     assert out.returncode == 0, out.stderr[-3000:]
-    assert "PACKBUF_OK" in out.stdout
+    assert "HMM_META_OK" in out.stdout
