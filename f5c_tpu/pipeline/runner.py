@@ -1117,7 +1117,12 @@ class Pipeline:
         _worker_init(self._model_kind, self.opt.kmer_model_path,
                      self.opt.rna)
         self._hmm_pool = None
-        order = sorted(range(len(batch)), key=lambda i: len(batch[i].seq))
+        # longest reads first: the biggest fill/HMM work is dispatched
+        # while later waves still have host work to overlap it, and the
+        # un-overlappable tail (final walk/score syncs after the last
+        # wave) lands on the smallest wave instead of the largest
+        order = sorted(range(len(batch)), key=lambda i: len(batch[i].seq),
+                       reverse=True)
         WAVE = int(os.environ.get("F5C_TPU_WAVE", "32"))
         waves = [order[i:i + WAVE] for i in range(0, len(order), WAVE)]
         lm, ls, ll = self._nuc_dev_tables()
