@@ -22,6 +22,7 @@ import numpy as np
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_DIR, "src", "f5chost.cpp")
 _LIB_PATH = os.path.join(_DIR, "libf5chost.so")
+_PREP_SCRATCH = threading.local()
 
 _lock = threading.Lock()
 _lib = None
@@ -257,10 +258,21 @@ def prep_read(raw: np.ndarray, digitisation: float, offset: float,
     if isinstance(seq, str):
         seq = seq.encode("ascii")
     ns = len(seq)
-    starts = np.empty(n + 1, dtype=np.int64)
-    lengths = np.empty(n + 1, dtype=np.float32)
-    means = np.empty(n + 1, dtype=np.float32)
-    stdvs = np.empty(n + 1, dtype=np.float32)
+    # grow-only per-thread scratch: fresh np.empty of ~1 MB per read is
+    # an mmap/munmap + page-fault cycle that costs more than the event
+    # detection it feeds (the native side keeps its scratch
+    # thread-local for the same reason)
+    scr = _PREP_SCRATCH.__dict__
+    if scr.get("cap", 0) < n + 1:
+        scr["cap"] = cap = max(n + 1, 2 * scr.get("cap", 0))
+        scr["starts"] = np.empty(cap, dtype=np.int64)
+        scr["lengths"] = np.empty(cap, dtype=np.float32)
+        scr["means"] = np.empty(cap, dtype=np.float32)
+        scr["stdvs"] = np.empty(cap, dtype=np.float32)
+    starts = scr["starts"]
+    lengths = scr["lengths"]
+    means = scr["means"]
+    stdvs = scr["stdvs"]
     ranks = np.empty(max(ns - k + 1, 0), dtype=np.int32)
     pa = np.empty(n, dtype=np.float32) if keep_pa else None
     shift = _f32()
