@@ -176,6 +176,9 @@ def main():
             "value": round(reads_per_s, 2),
             "unit": "reads/s",
             "vs_baseline": round(reads_per_s / BASELINE, 3),
+            # the headline is best-of-N (noise-robust on a
+            # burst-throttled vCPU); the raw walls expose the spread
+            "runs_wall_s": [round(w, 3) for w in walls],
         }))
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

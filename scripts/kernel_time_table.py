@@ -48,23 +48,39 @@ def parse_trace(trace_dir):
             elif e.get("name") == "thread_name":
                 tid_name[(e["pid"], e.get("tid"))] = e["args"].get(
                     "name", "")
+    # device tracks only: accept accelerator process names ("TPU" or
+    # "/device:TPU"), NOT host CPU tracks whose names merely contain
+    # "device".  On a multi-chip run durations would sum across chips,
+    # so keep one pid (the busiest) and say so.
     dev_pids = {p for p, n in pid_name.items()
-                if "TPU" in n or "device" in n.lower()}
+                if "TPU" in n or "/device:" in n}
     per_kernel = defaultdict(float)
     per_kernel_n = defaultdict(int)
     total = 0.0
+    matched = 0
+    per_pid = defaultdict(float)
     for e in events:
         if e.get("ph") != "X" or e.get("pid") not in dev_pids:
             continue
         tname = tid_name.get((e["pid"], e.get("tid")), "")
         # XLA op tracks nest under "XLA Ops"/"Steps"; keep leaf op rows
-        if "XLA Ops" not in tname and "Ops" not in tname:
+        if "Ops" not in tname:
             continue
         dur = float(e.get("dur", 0.0)) / 1e6   # us -> s
         name = e.get("name", "?")
         per_kernel[name] += dur
         per_kernel_n[name] += 1
         total += dur
+        per_pid[e["pid"]] += dur
+        matched += 1
+    if not matched:
+        raise SystemExit(
+            f"no device op events matched in {path} "
+            f"(device pids seen: {sorted(dev_pids)}; a trace-format "
+            "change must fail loudly, not print a zero table)")
+    if len(per_pid) > 1:
+        print(f"[ktt] NOTE: {len(per_pid)} device pids in trace; "
+              "durations are summed across chips", file=sys.stderr)
     return path, per_kernel, per_kernel_n, total
 
 
@@ -97,8 +113,9 @@ def main():
         print(f"{total:10.4f} {'':6}  TOTAL device op time "
               f"({100 * total / wall:.1f}% of {wall:.3f}s wall)")
     finally:
-        if outdir is None:
-            shutil.rmtree(tmp, ignore_errors=True)
+        # the generated dataset always lives under tmp; only the trace
+        # dir outlives the run (it is outside tmp when outdir is given)
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 if __name__ == "__main__":
