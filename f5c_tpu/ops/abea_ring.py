@@ -16,15 +16,22 @@ layout:
   rings (loaded from REVERSED model arrays, since k runs opposite to e
   along a band);
 - the backtrace lane is ``e & 127`` — computed from walk state, NO
-  per-band sideband gather.  Combined with moving the QC emission sum /
-  max-gap / spanned checks into the host decode (native
-  f5c_decode_qc_postalign), the device walk is ~10 cheap ops + ONE
-  gather per aligned pair, unrolled 64x with slab stores so the
-  while-loop's fixed per-iteration cost is amortised.
+  per-band sideband gather;
+- the trace is stored 2-bit PACKED at fill time: one i32 word at
+  (band//4, lane) holds the directions of a 4-band x 4-lane tile
+  (bands 4q..4q+3 at lanes l-3..l, cyclic in l).  Packing is nearly
+  free in the fill (the shift amount ``8*(band&3)`` is static inside
+  the unrolled group loop; the lane neighbourhood is 3 cyclic rolls)
+  and shrinks the trace's HBM footprint and flush DMA traffic 4x.
+  The walk then resolves THREE steps from TWO independent gathers
+  (words (q, lane) and (q-1, lane) cover every cell a 3-step walk can
+  touch), cutting the sequential HBM-latency chain ~3x vs one gather
+  per step.
 
 Output contract:
-- ``trace`` i32 [B/8, n_bands, 8, 128]: direction code (0=step/diag,
-  1=stay/up, 2=skip/left) at lane e%128; no sidebands.
+- ``trace`` i32 [B/8, n_bands/4, 8, 128]: packed direction words
+  (0=step/diag, 1=stay/up, 2=skip/left); word (q, l) bit
+  ``8*jj + 2*ii`` = direction of band ``4q+jj`` at lane ``(l-ii)%128``.
 - ``best`` i32 [B, 128]: lane 0 = backtrace start event or -1
   (first-best over bands, src/align.c:429-445 tie rule).
 - backtrace: packed 2-bit walk + pair count; QC happens on the host.
@@ -37,6 +44,7 @@ layout itself has no counterpart in the reference.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -49,7 +57,10 @@ from .abea import (BW, CHUNK, FROM_D, FROM_L, FROM_U, PAD, AbeaBatch,
 
 NEG_INF = np.float32(-np.inf)
 LOG_INV_SQRT_2PI = np.float32(-0.918938)
-R = 8                      # reads per grid step (sublane count)
+# reads per grid step (sublane tile height).  8 = one f32 vreg per
+# vector op; 16/32 amortise the band-step loop's fixed cost over more
+# reads (the ring reloads stay linear in R via 8-row blocks).
+R = int(os.environ.get("F5C_TPU_RING_R", "8"))
 GRP = 16                   # band steps per ring-reload window
 INT_MIN = np.int32(-2**31 + 1)
 
@@ -62,7 +73,8 @@ def _fill_kernel_ring(n_events_ref, n_kmers_ref, scal_ref,
     sub8 = jax.lax.broadcasted_iota(jnp.int32, (R, PAD), 0)
     sub81 = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0)
 
-    n_bands_max = trace_ref.shape[1]
+    n_bands_max = trace_ref.shape[1] * 4
+    CW = CHUNK // 4          # packed words per flush chunk
     E = ev_ref.shape[1] - 2 * PAD
     K = kmean_rev_ref.shape[1] - 2 * PAD
 
@@ -100,57 +112,80 @@ def _fill_kernel_ring(n_events_ref, n_kmers_ref, scal_ref,
 
     def flush(chunk_idx):
         cp = pltpu.make_async_copy(
-            chunk_tr, trace_ref.at[g, pl.ds(chunk_idx * CHUNK, CHUNK)],
+            chunk_tr, trace_ref.at[g, pl.ds(chunk_idx * CW, CW)],
             sems.at[0])
         cp.start()
         cp.wait()
 
-    def ring_load(ref, j, start, place, acc):
-        """acc[j, l] = ref[j, start + ((l - place) % PAD)]."""
+    # blocked ring load: each read's placed load touches only its own
+    # 8-row block, keeping the group-reload cost LINEAR in R (a full
+    # (R, PAD) select per read would be quadratic)
+    lane8b = jax.lax.broadcasted_iota(jnp.int32, (8, PAD), 1)
+    sub8b = jax.lax.broadcasted_iota(jnp.int32, (8, PAD), 0)
+
+    def ring_load(ref, j, start, place, acc8):
+        """acc8[j%8, l] = ref[j, start + ((l - place) % PAD)]."""
+        b, jb = divmod(j, 8)
         base = (start // PAD) * PAD
         rem = start - base
-        v0 = ref[:, pl.ds(pl.multiple_of(base, PAD), PAD)]
-        v1 = ref[:, pl.ds(pl.multiple_of(base + PAD, PAD), PAD)]
+        v0 = ref[pl.ds(8 * b, 8), pl.ds(pl.multiple_of(base, PAD), PAD)]
+        v1 = ref[pl.ds(8 * b, 8),
+                 pl.ds(pl.multiple_of(base + PAD, PAD), PAD)]
         sh = (place - rem) % PAD
         r0 = pltpu.roll(v0, sh, 1)
         r1 = pltpu.roll(v1, sh, 1)
-        m = ((lane8 - place) % PAD) < (PAD - rem)
-        return jnp.where(sub8 == j, jnp.where(m, r0, r1), acc)
+        m = ((lane8b - place) % PAD) < (PAD - rem)
+        return jnp.where(sub8b == jb, jnp.where(m, r0, r1), acc8)
+
+    def cat_blocks(blocks):
+        return blocks[0] if len(blocks) == 1 else jnp.concatenate(
+            blocks, axis=0)
 
     # ---- bands 0 and 1 (presets; cells (k=-1,e=-1) and (k=-1,e=0)) ----
     detile = jnp.float32(0.0) * sub8.astype(jnp.float32)
     band0 = jnp.where(lane8 == PAD - 1, jnp.float32(0.0), NEG_INF) + detile
     band1 = jnp.where(lane8 == 0, lp_trim, NEG_INF) + detile
-    row1 = jnp.where(lane8 == 0, jnp.int32(FROM_U), jnp.int32(0))
-    chunk_tr[pl.ds(0, 1)] = (jnp.int32(0) * lane8)[None]
-    chunk_tr[pl.ds(1, 1)] = row1[None]
+    # packed word 0, rows jj=0 (all FROM_D) and jj=1 (FROM_U at lane 0):
+    # the row-1 direction lands at bit 8*1 + 2*ii for word lanes 0..3
+    row1p = jnp.where(lane8 < 4,
+                      jnp.int32(FROM_U) << (2 * jnp.minimum(lane8, 3)),
+                      jnp.int32(0))
+    acc0 = row1p << 8
 
     detile_i = jnp.int32(0) * sub81
 
     def group_body(grp, carry):
-        prev, prev2, ll_k_v, best_s, best_e = carry
+        prev, prev2, ll_k_v, best_s, best_e, acc = carry
         base_bi = 2 + grp * GRP
 
-        # ---- reload the group-stationary rings ----
+        # ---- reload the group-stationary rings (8-row blocks) ----
         ll_k_s = [extract(ll_k_v, j) for j in range(R)]
         kb_s = [jnp.minimum(ll_k_s[j], jnp.int32(K - 1)) for j in range(R)]
-        zf = jnp.zeros((R, PAD), jnp.float32)
-        kmean_r = zf
-        kstdv_r = jnp.ones((R, PAD), jnp.float32)
-        klog_r, ev_ring = zf, zf
+        zf8 = jnp.zeros((8, PAD), jnp.float32)
+        on8 = jnp.ones((8, PAD), jnp.float32)
+        nblk = R // 8
+        ev_b = [zf8] * nblk
+        km_b = [zf8] * nblk
+        ks_b = [on8] * nblk
+        kl_b = [zf8] * nblk
         w0_s = []
         for j in range(R):
+            b = j // 8
             ll_e_prev = (base_bi - 3) - ll_k_s[j]
             w0 = ll_e_prev - (BW - 1)
             w0_s.append(w0)
             s_e = jnp.clip(w0 + PAD, 0, E + PAD - 1)
             pe = w0 % PAD
-            ev_ring = ring_load(ev_ref, j, s_e, pe, ev_ring)
+            ev_b[b] = ring_load(ev_ref, j, s_e, pe, ev_b[b])
             s_k = jnp.clip(K + PAD - 128 - kb_s[j], 0, K + PAD - 1)
             pk = (base_bi - kb_s[j] - 129) % PAD
-            kmean_r = ring_load(kmean_rev_ref, j, s_k, pk, kmean_r)
-            kstdv_r = ring_load(kstdv_rev_ref, j, s_k, pk, kstdv_r)
-            klog_r = ring_load(klog_rev_ref, j, s_k, pk, klog_r)
+            km_b[b] = ring_load(kmean_rev_ref, j, s_k, pk, km_b[b])
+            ks_b[b] = ring_load(kstdv_rev_ref, j, s_k, pk, ks_b[b])
+            kl_b[b] = ring_load(klog_rev_ref, j, s_k, pk, kl_b[b])
+        ev_ring = cat_blocks(ev_b)
+        kmean_r = cat_blocks(km_b)
+        kstdv_r = cat_blocks(ks_b)
+        klog_r = cat_blocks(kl_b)
         w0_v = stackv(w0_s, jnp.int32)
         e_lane = w0_v + ((lane8 - w0_v) % PAD)        # group-fixed e map
         evalid = (e_lane >= 0) & (e_lane < n_ev_v)
@@ -218,32 +253,45 @@ def _fill_kernel_ring(n_events_ref, n_kmers_ref, scal_ref,
             best_s = jnp.where(upd, cand, best_s)
             best_e = jnp.where(upd, e_lc, best_e)
 
-            slot = bi % CHUNK
-            chunk_tr[pl.ds(slot, 1)] = frm[None]
+            # pack: word lane l accumulates dirs of lanes l-3..l (cyclic
+            # rolls match the walk's e & 127 wrap) at bit 8*(bi&3)+2*ii;
+            # bi & 3 == (2 + j) & 3 is STATIC inside the unrolled loop
+            p = (frm | (pltpu.roll(frm, 1, 1) << 2)
+                 | (pltpu.roll(frm, 2, 1) << 4)
+                 | (pltpu.roll(frm, 3, 1) << 6))
+            phase = (2 + j) & 3
+            acc = acc | (p << (8 * phase)) if phase else p
+            if phase == 3:
+                wq = bi >> 2
+                chunk_tr[pl.ds(wq % CW, 1)] = acc[None]
+                acc = jnp.zeros((R, PAD), jnp.int32)
 
-            @pl.when(slot == CHUNK - 1)
-            def _():
-                flush(bi // CHUNK)
+                @pl.when((wq % CW) == (CW - 1))
+                def _():
+                    flush(bi // CHUNK)
 
             prev2 = prev
             prev = row
 
-        return prev, prev2, ll_k_v, best_s, best_e
+        return prev, prev2, ll_k_v, best_s, best_e, acc
 
     carry0 = (band1, band0,
               jnp.full((R, 1), ll_k0, jnp.int32) + detile_i,
               jnp.full((R, 1), NEG_INF, jnp.float32)
               + jnp.float32(0.0) * sub81.astype(jnp.float32),
-              jnp.full((R, 1), -1, jnp.int32) + detile_i)
+              jnp.full((R, 1), -1, jnp.int32) + detile_i,
+              acc0)
     n_groups = (nb_grp - 2 + GRP - 1) // GRP
     carry = jax.lax.fori_loop(0, n_groups, group_body, carry0)
     best_e = carry[4]
+    acc_tail = carry[5]
 
+    # the loop ends mid-word (last bi == 1 + 16*n_groups, phase 1):
+    # store the partial word, then flush its chunk
     last_row = 1 + n_groups * GRP
-
-    @pl.when((last_row % CHUNK) != (CHUNK - 1))
-    def _():
-        flush(last_row // CHUNK)
+    wq_tail = last_row >> 2
+    chunk_tr[pl.ds(wq_tail % CW, 1)] = acc_tail[None]
+    flush(last_row // CHUNK)
 
     best_ref[:, :] = jnp.where(lane8 == 0,
                                jnp.broadcast_to(best_e, (R, PAD)),
@@ -286,7 +334,7 @@ def abea_fill_ring(batch: AbeaBatch, kmean_rev, kstdv_rev, klog_rev,
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((CHUNK, R, PAD), jnp.int32),
+            pltpu.VMEM((CHUNK // 4, R, PAD), jnp.int32),
             pltpu.SemaphoreType.DMA((1,)),
         ],
     )
@@ -295,7 +343,8 @@ def abea_fill_ring(batch: AbeaBatch, kmean_rev, kstdv_rev, klog_rev,
         _fill_kernel_ring,
         grid_spec=grid_spec,
         out_shape=(
-            jax.ShapeDtypeStruct((B // R, n_bands, R, PAD), jnp.int32),
+            jax.ShapeDtypeStruct((B // R, n_bands // 4, R, PAD),
+                                 jnp.int32),
             jax.ShapeDtypeStruct((B, PAD), jnp.int32),
         ),
         interpret=interpret,
@@ -305,26 +354,30 @@ def abea_fill_ring(batch: AbeaBatch, kmean_rev, kstdv_rev, klog_rev,
     return trace, best
 
 
-UNROLL = 64
+UNROLL = 22      # gather-pairs per while-loop iteration
+WSTEPS = 3       # walk steps resolved per gather-pair
 
 
 @functools.partial(jax.jit, static_argnames=("max_pairs",))
 def abea_backtrace_ring(trace, best, n_kmers, max_pairs: int):
-    """Minimal device walk: one gather + ~8 vector ops per pair, 64-step
-    unroll with slab stores (amortises the device loop's fixed cost).
+    """Minimal device walk over the PACKED trace: two independent
+    gathers (words (q, lane) and (q-1, lane)) cover every cell a 3-step
+    walk can reach — band drops <= 2/step so 3 steps stay >= 4(q-1),
+    and the lane drops <= 1/step so 3 steps stay >= lane-2 — cutting
+    the sequential HBM-latency chain ~3x vs one gather per step.
     Returns (packed 2-bit dirs [B, max_pairs//4] u8, start_event [B],
     n_pairs [B]).  QC happens on the host (native decode_qc_postalign)."""
-    G, nb, Rr, PADl = trace.shape
+    G, nbq, Rr, PADl = trace.shape
     B = G * R
-    assert max_pairs % (4 * UNROLL) == 0 or max_pairs % UNROLL == 0
     start_e = best[:, 0]
     g_idx = jnp.arange(B, dtype=jnp.int32) // R
     r_idx = jnp.arange(B, dtype=jnp.int32) % R
     any_valid = start_e >= 0
     k0 = jnp.where(any_valid, n_kmers - 1, -1)
     e0 = jnp.where(any_valid, start_e, -1)
-    iters = (max_pairs + UNROLL - 1) // UNROLL
-    dirs0 = jnp.zeros((iters * UNROLL, B), jnp.uint8)
+    spi = UNROLL * WSTEPS                    # steps per iteration
+    iters = (max_pairs + spi - 1) // spi
+    dirs0 = jnp.zeros((iters * spi, B), jnp.uint8)
 
     def cond(st):
         it, k, e, n, dirs = st
@@ -334,16 +387,26 @@ def abea_backtrace_ring(trace, best, n_kmers, max_pairs: int):
         it, k, e, n, dirs = st
         fs = []
         for _ in range(UNROLL):
-            active = (k >= 0) & (e >= 0)
-            bi = k + e + 2
             lane = e & (PAD - 1)
-            f = trace[g_idx, bi, r_idx, lane]
-            fs.append(f.astype(jnp.uint8))
-            k = k - (active & (f != FROM_U)).astype(jnp.int32)
-            e = e - (active & (f != FROM_L)).astype(jnp.int32)
-            n = n + active.astype(jnp.int32)
+            bq = (k + e + 2) >> 2
+            w0 = trace[g_idx, bq, r_idx, lane]
+            w1 = trace[g_idx, jnp.maximum(bq - 1, 0), r_idx, lane]
+            e_base = e
+            for _s in range(WSTEPS):
+                active = (k >= 0) & (e >= 0)
+                jj = (k + e + 2) - (bq << 2)         # in [-4, 3]
+                use0 = jj >= 0
+                sh = ((jnp.where(use0, jj, jj + 4) << 3)
+                      + ((e_base - e) << 1))
+                f = ((jnp.where(use0, w0, w1) >> sh) & 3).astype(
+                    jnp.uint8)
+                fs.append(f)
+                fi = f.astype(jnp.int32)
+                k = k - (active & (fi != FROM_U)).astype(jnp.int32)
+                e = e - (active & (fi != FROM_L)).astype(jnp.int32)
+                n = n + active.astype(jnp.int32)
         slab = jnp.stack(fs, axis=0)
-        dirs = jax.lax.dynamic_update_slice(dirs, slab, (it * UNROLL, 0))
+        dirs = jax.lax.dynamic_update_slice(dirs, slab, (it * spi, 0))
         return (it + 1, k, e, n, dirs)
 
     st0 = (jnp.int32(0), k0, e0, jnp.zeros(B, jnp.int32), dirs0)

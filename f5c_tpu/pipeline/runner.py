@@ -954,7 +954,8 @@ class Pipeline:
             K = _bucket(int(max(rk_len_all[i] for i in g_idx)),
                         minimum=1024)
             nb = ((E + K + 2 + CHUNK - 1) // CHUNK) * CHUNK
-            per_read = nb * 128 * 4
+            # ring trace is 2-bit packed: one i32 word per 4 bands/lane
+            per_read = nb * 128
             max_reads = max((self.TRACE_BYTES_BUDGET // per_read)
                             // RSTEP * RSTEP, RSTEP)
             if len(g_idx) > max_reads:
@@ -1124,6 +1125,8 @@ class Pipeline:
         order = sorted(range(len(batch)), key=lambda i: len(batch[i].seq),
                        reverse=True)
         WAVE = int(os.environ.get("F5C_TPU_WAVE", "32"))
+        self._inflight_depth = int(os.environ.get("F5C_TPU_INFLIGHT",
+                                                  "2"))
         waves = [order[i:i + WAVE] for i in range(0, len(order), WAVE)]
         lm, ls, ll = self._nuc_dev_tables()
         rk_dtype = np.int16 if self.model.num_kmers <= 32767 else np.int32
@@ -1250,7 +1253,8 @@ class Pipeline:
             for r in todo:
                 nk = len(r.seq) - self.model.k + 1
                 nb_r = r.n_events + nk + 2
-                if (nb_r * 8 * 512 > self.TRACE_BYTES_BUDGET
+                # packed ring trace: nb x R(dup 8) x 128 lanes x 1 B
+                if (nb_r * 8 * 128 > self.TRACE_BYTES_BUDGET
                         or r.n_events > (1 << 17) or nk > (1 << 16)):
                     ultra_jobs.append((r, ranks[id(r)]))
                 else:
@@ -1307,7 +1311,7 @@ class Pipeline:
                     K = _bucket(int(rk_len[i0:j].max()), minimum=1024)
                     nb = ((E + K + 2 + CHUNK - 1) // CHUNK) * CHUNK
                     b_pad = _bucket(len(part), minimum=RSTEP)
-                    if (b_pad * nb * 128 * 4 <= self.TRACE_BYTES_BUDGET
+                    if (b_pad * nb * 128 <= self.TRACE_BYTES_BUDGET
                             or len(part) <= RSTEP):
                         break
                     self._trace_budget_splits += 1
@@ -1322,12 +1326,13 @@ class Pipeline:
                 i0 = j
             self.stage_time["align"] += time.time() - t0
 
-            # keep at most 2 launches in flight (2 padded traces
-            # <= 2x TRACE_BYTES_BUDGET of HBM): decoding the oldest
-            # here overlaps the device filling the newest.  A wave can
-            # emit several launches (trace-budget splits), so drain
-            # down to the cap, not just one
-            while len(launches) - sync_i > 1:
+            # keep up to F5C_TPU_INFLIGHT launches outstanding (each a
+            # packed trace <= TRACE_BYTES_BUDGET/4 of HBM): syncing wave
+            # N only after wave N+depth has loaded gives N's walk D2H a
+            # full extra wave of host work to hide behind (the tunnel's
+            # D2H is the walk_sync floor).  A wave can emit several
+            # launches (trace-budget splits), so drain to the cap
+            while len(launches) - sync_i > self._inflight_depth:
                 sync_one()
 
         while sync_i < len(launches):
