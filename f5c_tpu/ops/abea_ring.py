@@ -59,8 +59,10 @@ NEG_INF = np.float32(-np.inf)
 LOG_INV_SQRT_2PI = np.float32(-0.918938)
 # reads per grid step (sublane tile height).  8 = one f32 vreg per
 # vector op; 16/32 amortise the band-step loop's fixed cost over more
-# reads (the ring reloads stay linear in R via 8-row blocks).
-R = int(os.environ.get("F5C_TPU_RING_R", "8"))
+# reads (the ring reloads stay linear in R via 8-row blocks).  16
+# measures ~25% faster end-to-end than 8 on a v5e (the fill+walk chain
+# drops fully behind the host work of the wave pipeline).
+R = int(os.environ.get("F5C_TPU_RING_R", "16"))
 GRP = 16                   # band steps per ring-reload window
 INT_MIN = np.int32(-2**31 + 1)
 

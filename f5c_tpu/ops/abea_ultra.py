@@ -36,7 +36,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .abea import BW, CHUNK, FROM_L, FROM_U, PAD
-from .abea_ring import GRP, INT_MIN, NEG_INF, R, _expand_fast
+from .abea_ring import GRP, INT_MIN, NEG_INF, _expand_fast
+
+# the ultra path duplicates ONE read across the sublane tile, so its
+# fill cost is proportional to R — pin the smallest tile regardless of
+# the ring kernel's batch-throughput default (abea_ring.R)
+R = 8
 
 LL_K0 = -1 - BW // 2      # -51
 
