@@ -26,6 +26,39 @@ def data_mesh(devices=None) -> Mesh:
     return Mesh(np.asarray(devices), axis_names=("data",))
 
 
+# per-device transfer accounting for sharded dispatches: evidence that
+# the host can feed N chips (per-device H2D shrinks with the mesh while
+# replicated tables stay constant).  Keys: <kind>.{n_dispatch,
+# sharded_bytes, replicated_bytes, per_device_bytes}.
+TRANSFER_LOG: dict[str, float] = {}
+
+
+def record_dispatch(kind: str, sharded_bytes: int, replicated_bytes: int,
+                    n_dev: int) -> None:
+    def add(key, v):
+        TRANSFER_LOG[key] = TRANSFER_LOG.get(key, 0.0) + v
+
+    add(f"{kind}.n_dispatch", 1)
+    add(f"{kind}.sharded_bytes", float(sharded_bytes))
+    add(f"{kind}.replicated_bytes", float(replicated_bytes))
+    add(f"{kind}.per_device_bytes",
+        float(sharded_bytes) / max(n_dev, 1) + float(replicated_bytes))
+
+
+def transfer_table() -> str:
+    """Human-readable per-device H2D table (one row per dispatch kind)."""
+    kinds = sorted({k.rsplit(".", 1)[0] for k in TRANSFER_LOG})
+    rows = ["kind            disp   sharded_MB  replicated_MB  "
+            "per_device_MB"]
+    for k in kinds:
+        g = lambda f: TRANSFER_LOG.get(f"{k}.{f}", 0.0)  # noqa: E731
+        rows.append(f"{k:<15} {int(g('n_dispatch')):>4}   "
+                    f"{g('sharded_bytes') / 1e6:>10.3f}  "
+                    f"{g('replicated_bytes') / 1e6:>13.3f}  "
+                    f"{g('per_device_bytes') / 1e6:>13.3f}")
+    return "\n".join(rows)
+
+
 def _shard_map(fn, mesh, in_specs, out_specs):
     try:
         from jax import shard_map as _sm
@@ -81,6 +114,35 @@ def shard_align_ring(mesh: Mesh, ev_concat, ev_off, ev_len, rank_concat,
     return fn(ev_concat, ev_off, ev_len, rank_concat, rk_off, rk_len,
               level_mean, level_stdv, level_log_stdv, scale, shift,
               lp_stay, lp_step, lp_skip, lp_trim, byte_off)
+
+
+@functools.partial(jax.jit, static_argnames=("mesh", "pad_events",
+                                             "pad_k", "max_path"))
+def shard_viterbi_rounds(mesh: Mesh, spec_i32, spec_f32, rank_pool,
+                         ev_pool, level_mean, level_stdv, level_log_stdv,
+                         pad_events: int, pad_k: int, max_path: int):
+    """The PRODUCTION eventalign lockstep Viterbi round
+    (ops/hmm.hmm_viterbi_rounds) with the chunk axis data-parallel over
+    the mesh.  Specs carry a leading device axis; the per-batch
+    rank/event pools and model tables are replicated (they are uploaded
+    once per batch — SURVEY §2.7; ref src/eventalign.c:1267-1531)."""
+    from ..ops.hmm import hmm_viterbi_rounds
+
+    sharded = P("data")
+    repl = P()
+
+    def run(si, sf, rp, ep, lm, ls, ll):
+        movs, n = hmm_viterbi_rounds(
+            si[0], sf[0], rp, ep, lm, ls, ll, pad_events=pad_events,
+            pad_k=pad_k, max_path=max_path)
+        return movs[None], n[None]
+
+    fn = _shard_map(
+        run, mesh,
+        in_specs=(sharded, sharded) + (repl,) * 5,
+        out_specs=(sharded, sharded))
+    return fn(spec_i32, spec_f32, rank_pool, ev_pool, level_mean,
+              level_stdv, level_log_stdv)
 
 
 @functools.partial(jax.jit, static_argnames=("mesh", "SEG", "interpret"))

@@ -55,8 +55,15 @@ def _mini_pipeline(tmpdir: str, n_reads: int):
 def _run_align(tmp_root: str, tag: str, mesh: bool, n_reads: int):
     import time
 
+    import io
+    from types import SimpleNamespace
+
+    from f5c_tpu.pipeline.eventalign import run_eventalign
+
     os.environ["F5C_TPU_INTERPRET"] = "1"
     os.environ["F5C_TPU_MESH"] = "1" if mesh else "0"
+    # device lockstep rounds so the sharded Viterbi path is exercised
+    os.environ["F5C_TPU_EA_ENGINE"] = "device"
     try:
         d = os.path.join(tmp_root, tag)
         os.makedirs(d, exist_ok=True)
@@ -80,10 +87,17 @@ def _run_align(tmp_root: str, tag: str, mesh: bool, n_reads: int):
                 sorted((pos, s.ll_methylated, s.ll_unmethylated)
                        for pos, s in scored.items()),
             )
+        # eventalign through the sharded lockstep Viterbi rounds
+        # (parallel/mesh.py:shard_viterbi_rounds under the mesh)
+        ea = io.StringIO()
+        pipe_ea = _mini_pipeline(d, n_reads)
+        run_eventalign(pipe_ea, SimpleNamespace(), out=ea)
+        out["__eventalign__"] = ea.getvalue()
         return out
     finally:
         os.environ.pop("F5C_TPU_INTERPRET", None)
         os.environ.pop("F5C_TPU_MESH", None)
+        os.environ.pop("F5C_TPU_EA_ENGINE", None)
 
 
 def run_mesh_parity(n_reads: int = 10) -> int:
@@ -97,8 +111,11 @@ def run_mesh_parity(n_reads: int = 10) -> int:
     """
     import jax
 
+    from f5c_tpu.parallel.mesh import TRANSFER_LOG
+
     n_dev = len(jax.devices())
     assert n_dev >= 2, f"need a multi-device mesh, have {n_dev}"
+    TRANSFER_LOG.clear()
     tmp = tempfile.mkdtemp(prefix="f5c_mesh_")
     single = _run_align(tmp, "single", mesh=False, n_reads=n_reads)
     t_single = _run_align.last_secs
@@ -109,6 +126,8 @@ def run_mesh_parity(n_reads: int = 10) -> int:
           f"{t_sharded:.1f}s ({n_reads / t_sharded:.2f} reads/s) "
           f"[virtual devices share one host core: overhead probe, "
           f"not a speedup measure]")
+    ea_single = single.pop("__eventalign__")
+    ea_sharded = sharded.pop("__eventalign__")
     assert set(single) == set(sharded)
     for q in single:
         s0, p0, sc0, b0, m0 = single[q]
@@ -121,6 +140,14 @@ def run_mesh_parity(n_reads: int = 10) -> int:
         assert sc0 == sc1, q
         np.testing.assert_array_equal(b0, b1, err_msg=q)
         assert m0 == m1, f"{q}: meth scores differ under the mesh"
+    assert ea_single == ea_sharded, (
+        "eventalign TSV differs under the mesh")
+    n_ea = ea_single.count("\n") - 1
+    print(f"[mesh_check] eventalign sharded == single byte-for-byte "
+          f"({n_ea} TSV rows)")
+    from f5c_tpu.parallel.mesh import transfer_table
+    print("[mesh_check] per-device H2D accounting (sharded run):")
+    print(transfer_table())
     return len(single)
 
 

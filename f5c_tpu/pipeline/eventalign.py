@@ -308,6 +308,20 @@ class EventalignEngine:
         else:
             self.host_round_max = None       # probed lazily in realign_batch
 
+    @staticmethod
+    def _mesh_devices():
+        """Local-device mesh gate, mirroring Pipeline._mesh_devices
+        (multi-process --dist runs own their read shards, so meshes
+        never span non-addressable devices)."""
+        import os as _os
+
+        import jax
+
+        if _os.environ.get("F5C_TPU_MESH", "1") == "0":
+            return []
+        devs = jax.local_devices()
+        return devs if len(devs) > 1 else []
+
     def _probed_round_max(self) -> int:
         """Crossover round size: a device round pays ~2 synchronous
         trips (spec upload + movement download); below
@@ -433,6 +447,17 @@ class EventalignEngine:
                 np.concatenate(rank_parts), dtype=np.int32))
             self._ev_pool = jnp.asarray(np.ascontiguousarray(
                 np.concatenate(ev_parts), dtype=np.float32))
+            mesh_devs = self._mesh_devices()
+            if mesh_devs:
+                from ..parallel.mesh import record_dispatch
+
+                record_dispatch(
+                    "viterbi_pools", 0,
+                    int(np.asarray(self._rank_pool).nbytes)
+                    + int(np.asarray(self._ev_pool).nbytes)
+                    + sum(int(np.asarray(t).nbytes)
+                          for t in self._tables),
+                    len(mesh_devs))
 
         active = [st for st in states if not st.done]
         while active:
@@ -495,6 +520,10 @@ class EventalignEngine:
         pad_e = _bucket(max_ne, 256)
         max_path = pad_e + pad_k
         n_pad = _bucket(n_items, 32)
+        mesh_devs = self._mesh_devices()
+        if mesh_devs:
+            nd = len(mesh_devs)
+            n_pad = -(-n_pad // nd) * nd
         spec_i32 = np.zeros((n_pad, 6), np.int32)
         spec_f32 = np.zeros((n_pad, 5), np.float32)
         spec_f32[:, 0] = 1.0   # scale
@@ -513,12 +542,34 @@ class EventalignEngine:
             spec_f32[i] = (sc.scale, sc.shift, sc.var, np.log(p_stay),
                            np.log(1.0 - p_stay - 0.0025 - 0.001))
 
-        movs, n_steps = hmm_viterbi_rounds(
-            jnp.asarray(spec_i32), jnp.asarray(spec_f32),
-            self._rank_pool, self._ev_pool, *self._tables,
-            pad_events=pad_e, pad_k=pad_k, max_path=max_path)
-        movs = np.asarray(movs)
-        n_steps = np.asarray(n_steps)
+        if mesh_devs:
+            # data-parallel round: chunk axis sharded over the mesh,
+            # pools + tables replicated (parallel/mesh.py; SURVEY §2.7)
+            from ..parallel.mesh import (data_mesh, record_dispatch,
+                                         shard_viterbi_rounds)
+
+            if getattr(self, "_mesh", None) is None:
+                self._mesh = data_mesh(mesh_devs)
+            nd = len(mesh_devs)
+            # pools/tables were uploaded once per batch (realign_batch)
+            # and are counted there; a round ships only the two specs
+            record_dispatch("viterbi_round",
+                            spec_i32.nbytes + spec_f32.nbytes, 0, nd)
+            movs, n_steps = shard_viterbi_rounds(
+                self._mesh,
+                jnp.asarray(spec_i32.reshape(nd, n_pad // nd, 6)),
+                jnp.asarray(spec_f32.reshape(nd, n_pad // nd, 5)),
+                self._rank_pool, self._ev_pool, *self._tables,
+                pad_events=pad_e, pad_k=pad_k, max_path=max_path)
+            movs = np.asarray(movs).reshape(n_pad, -1)
+            n_steps = np.asarray(n_steps).reshape(n_pad)
+        else:
+            movs, n_steps = hmm_viterbi_rounds(
+                jnp.asarray(spec_i32), jnp.asarray(spec_f32),
+                self._rank_pool, self._ev_pool, *self._tables,
+                pad_events=pad_e, pad_k=pad_k, max_path=max_path)
+            movs = np.asarray(movs)
+            n_steps = np.asarray(n_steps)
 
         for i, (st, spec) in enumerate(items):
             mv = unpack_movements(movs[i], int(n_steps[i]))

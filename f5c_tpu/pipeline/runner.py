@@ -1525,6 +1525,15 @@ class Pipeline:
         lm, ls, ll = self._nuc_dev_tables()
         nb = ((n_bands + CHUNK - 1) // CHUNK) * CHUNK
         mesh = data_mesh(devs)
+        from ..parallel.mesh import record_dispatch
+        record_dispatch(
+            "align_ring",
+            sum(a.nbytes for a in (ev_concat_s, ev_off_s, ev_len_s,
+                                   rk_concat_s, rk_off_s, rk_len_s,
+                                   scale_s, shift_s, lp_stay_s,
+                                   lp_step_s, lp_skip_s, lp_trim_s,
+                                   off_s)),
+            sum(int(np.asarray(t).nbytes) for t in (lm, ls, ll)), D)
         flat, start_e, n = shard_align_ring(
             mesh, jnp.asarray(ev_concat_s), jnp.asarray(ev_off_s),
             jnp.asarray(ev_len_s), jnp.asarray(rk_concat_s),
@@ -2014,6 +2023,13 @@ class Pipeline:
                         out[d, :part.shape[0]] = part
                     return jnp.asarray(out)
 
+                from ..parallel.mesh import record_dispatch
+                record_dispatch(
+                    "hmm_forward",
+                    sum(a.nbytes for a in args),
+                    int(np.asarray(ev_pool).nbytes)
+                    + sum(int(np.asarray(t).nbytes)
+                          for t in (lm_dev, ls_dev, ll_dev)), D)
                 ss = shard_hmm_forward(
                     data_mesh(devs), _deal(args[0]), _deal(args[1]),
                     ev_pool, *[_deal(a) for a in args[2:]],
