@@ -136,14 +136,41 @@ class PoreModel:
 
 
 def load_model_file(path: str, alphabet: str | None = None) -> PoreModel:
-    """Parse an f5c/nanopolish text model file.
+    """Parse an f5c/nanopolish text model file, with an ``.npz`` cache.
 
     Header lines start with ``#`` (``#k <int>`` gives the k-mer size,
     ``#alphabet <name>`` the alphabet); an optional column-header row starts
     with ``kmer``; data rows are ``KMER\\tlevel_mean\\tlevel_stdv[...]``.
     The alphabet is inferred from the row count when not given
     (4^k rows -> nucleotide, 5^k rows -> meth).
+
+    Parsed tables are cached as ``<path>.npz`` (mtime-checked; disable
+    with ``F5C_TPU_MODEL_CACHE=0``): a 9-mer CpG table is 1.95M rows,
+    and the text parse costs seconds where the npz loads in
+    milliseconds (the reference bakes its big tables into the binary —
+    src/model.h / methmodel.c — so it never pays a parse).
     """
+    use_cache = os.environ.get("F5C_TPU_MODEL_CACHE", "1") != "0"
+    cache = path + ".npz"
+    if use_cache:
+        try:
+            if (os.path.isfile(cache)
+                    and os.path.getmtime(cache) >= os.path.getmtime(path)):
+                m = PoreModel.load_npz(cache)
+                if alphabet is None or m.alphabet == alphabet:
+                    return m
+        except (OSError, ValueError, KeyError):
+            pass             # stale/corrupt cache: re-parse below
+    m = _parse_model_file(path, alphabet)
+    if use_cache:
+        try:
+            m.save_npz(cache)
+        except OSError:
+            pass             # read-only model dir: cache is best-effort
+    return m
+
+
+def _parse_model_file(path: str, alphabet: str | None = None) -> PoreModel:
     k = None
     meta: dict = {}
     kmers: list[str] = []
@@ -199,27 +226,35 @@ def load_model_file(path: str, alphabet: str | None = None) -> PoreModel:
             alphabet = "meth"
         else:
             raise ValueError(f"{path}: {n} rows is neither 4^{k} nor 5^{k}")
-    rank_fn = kmer_ranks_meth if alphabet == "meth" else kmer_ranks_dna
-    size = (5 if alphabet == "meth" else 4) ** k
+    base = 5 if alphabet == "meth" else 4
+    size = base ** k
+    # vectorised rank computation over the concatenated k-mer column
+    # (a per-row rank call costs ~18us x 1.95M rows on a 9-mer CpG table)
+    joined = "".join(kmers)
+    if len(joined) != n * k:
+        bad = next(km for km in kmers if len(km) != k)
+        raise ValueError(f"{path}: k-mer {bad!r} is not length {k}")
+    # direct-RNA tables are published over ACGU; the pipeline works in
+    # U->T space (reads are U->T converted at load, f5cio.c)
+    codes = (_METH_RANK if alphabet == "meth" else _DNA_RANK)[
+        np.frombuffer(joined.replace("U", "T").encode("latin1"),
+                      dtype=np.uint8)].reshape(n, k)
+    ranks = np.zeros(n, dtype=np.int64)
+    for i in range(k):
+        ranks = ranks * base + codes[:, i]
+    counts = np.bincount(ranks, minlength=size)
+    if (counts > 1).any():
+        r = int(np.nonzero(counts > 1)[0][0])
+        dup = kmers[int(np.nonzero(ranks == r)[0][1])]
+        raise ValueError(f"{path}: duplicate k-mer {dup!r}")
+    if (counts == 0).any():
+        raise ValueError(
+            f"{path}: {int((counts == 0).sum())} of {size} k-mers missing "
+            f"from the table")
     level_mean = np.zeros(size, dtype=np.float32)
     level_stdv = np.ones(size, dtype=np.float32)
-    seen = np.zeros(size, dtype=bool)
-    for kmer, m, s in zip(kmers, means, stdvs):
-        if len(kmer) != k:
-            raise ValueError(
-                f"{path}: k-mer {kmer!r} is not length {k}")
-        # direct-RNA tables are published over ACGU; the pipeline works in
-        # U->T space (reads are U->T converted at load, f5cio.c)
-        r = int(rank_fn(kmer.replace("U", "T"), k)[0])
-        if seen[r]:
-            raise ValueError(f"{path}: duplicate k-mer {kmer!r}")
-        seen[r] = True
-        level_mean[r] = m
-        level_stdv[r] = s
-    if not seen.all():
-        raise ValueError(
-            f"{path}: {int((~seen).sum())} of {size} k-mers missing "
-            f"from the table")
+    level_mean[ranks] = np.asarray(means, dtype=np.float32)
+    level_stdv[ranks] = np.asarray(stdvs, dtype=np.float32)
     return PoreModel(
         k=k,
         alphabet=alphabet,

