@@ -45,12 +45,22 @@ static inline double prof_now() {
       std::chrono::steady_clock::now().time_since_epoch()).count();
 }
 
-#if defined(__AVX512F__) && defined(__AVX512BW__)
+#if defined(__AVX512F__)
 #include <immintrin.h>
+#endif
+#if defined(__AVX512F__) && defined(__AVX512BW__)
 #define F5C_KCHAIN_AVX512 1
 #endif
 
 extern "C" {
+int64_t f5c_events_from_peaks(const double* sums, const double* sumsqs,
+                              int64_t n, const int64_t* peaks,
+                              int64_t np_, int64_t* ev_start,
+                              float* ev_length, float* ev_mean,
+                              float* ev_stdv);
+int64_t f5c_detect_events(const float* sig, int64_t n, int rna,
+                          int64_t* ev_start, float* ev_length,
+                          float* ev_mean, float* ev_stdv);
 
 // ---------------------------------------------------------------------------
 // Event detection (reference src/events.c; oracle ops/events_ref.py)
@@ -82,6 +92,53 @@ static inline float tstat_at(const double* sums, const double* sumsqs,
   return (float)t;
 }
 
+// Vectorised span [i0, i1) of the t-stat track: 8 elements per step,
+// every operation the same element-wise IEEE op (same order, same
+// float/double mixing) as tstat_at — bit-identical by construction.
+static void tstat_span(const double* sums, const double* sumsqs,
+                       int64_t i0, int64_t i1, int w, float wf,
+                       float* tstat) {
+  int64_t i = i0;
+#if defined(__AVX512F__)
+  const __m512d wfd = _mm512_set1_pd((double)wf);
+  const __m256 wfs = _mm256_set1_ps(wf);
+  const __m256 fmin = _mm256_set1_ps(FLT_MIN);
+  const __m512d absmask = _mm512_castsi512_pd(
+      _mm512_set1_epi64(0x7fffffffffffffffLL));
+  for (; i + 8 <= i1; i += 8) {
+    __m512d s_c = _mm512_loadu_pd(sums + i);
+    __m512d s_l = _mm512_loadu_pd(sums + i - w);
+    __m512d s_r = _mm512_loadu_pd(sums + i + w);
+    __m512d q_c = _mm512_loadu_pd(sumsqs + i);
+    __m512d q_l = _mm512_loadu_pd(sumsqs + i - w);
+    __m512d q_r = _mm512_loadu_pd(sumsqs + i + w);
+    __m512d sum1 = _mm512_sub_pd(s_c, s_l);
+    __m512d sumsq1 = _mm512_sub_pd(q_c, q_l);
+    __m256 sum2 = _mm512_cvtpd_ps(_mm512_sub_pd(s_r, s_c));
+    __m256 sumsq2 = _mm512_cvtpd_ps(_mm512_sub_pd(q_r, q_c));
+    __m256 mean1 = _mm512_cvtpd_ps(_mm512_div_pd(sum1, wfd));
+    __m256 mean2 = _mm256_div_ps(sum2, wfs);
+    // cv = sumsq1/wf - (double)(mean1*mean1)
+    //      + (double)(sumsq2/wf) - (double)(mean2*mean2)
+    __m512d cv = _mm512_sub_pd(_mm512_div_pd(sumsq1, wfd),
+                               _mm512_cvtps_pd(_mm256_mul_ps(mean1,
+                                                             mean1)));
+    cv = _mm512_add_pd(cv, _mm512_cvtps_pd(_mm256_div_ps(sumsq2, wfs)));
+    cv = _mm512_sub_pd(cv, _mm512_cvtps_pd(_mm256_mul_ps(mean2, mean2)));
+    // (cv < FLT_MIN ? FLT_MIN : cv) incl. the NaN-passthrough:
+    // maxps returns the SECOND operand when unordered
+    __m256 cvf = _mm256_max_ps(fmin, _mm512_cvtpd_ps(cv));
+    __m256 delta = _mm256_sub_ps(mean2, mean1);
+    __m256 sq = _mm256_sqrt_ps(_mm256_div_ps(cvf, wfs));
+    __m512d t = _mm512_div_pd(
+        _mm512_and_pd(_mm512_cvtps_pd(delta), absmask),
+        _mm512_cvtps_pd(sq));
+    _mm256_storeu_ps(tstat + i, _mm512_cvtpd_ps(t));
+  }
+#endif
+  for (; i < i1; i++) tstat[i] = tstat_at(sums, sumsqs, i, w, wf);
+}
+
 static void compute_tstat(const double* sums, const double* sumsqs,
                           int64_t n, int w, float* tstat) {
   if (n < 2 * (int64_t)w || w < 2) {
@@ -92,8 +149,7 @@ static void compute_tstat(const double* sums, const double* sumsqs,
   for (int64_t i = 0; i < w; i++) tstat[i] = 0.0f;
   for (int64_t i = n - w; i < n; i++) tstat[i] = 0.0f;
   const float wf = (float)w;
-  for (int64_t i = w; i < n - w; i++)
-    tstat[i] = tstat_at(sums, sumsqs, i, w, wf);
+  tstat_span(sums, sumsqs, w, n - w, w, wf, tstat);
 }
 
 // Both t-stat tracks in one pass over the prefix arrays (w1 < w2): the
@@ -116,10 +172,8 @@ static void compute_tstat_pair(const double* sums, const double* sumsqs,
     t1[i] = tstat_at(sums, sumsqs, i, w1, wf1);
   for (int64_t i = n - w2; i < n - w1; i++)
     t1[i] = tstat_at(sums, sumsqs, i, w1, wf1);
-  for (int64_t i = w2; i < n - w2; i++) {
-    t1[i] = tstat_at(sums, sumsqs, i, w1, wf1);
-    t2[i] = tstat_at(sums, sumsqs, i, w2, wf2);
-  }
+  tstat_span(sums, sumsqs, w2, n - w2, w1, wf1, t1);
+  tstat_span(sums, sumsqs, w2, n - w2, w2, wf2, t2);
 }
 
 // Two coupled peak detectors over the t-stat tracks (events.c:380-452).
@@ -331,7 +385,18 @@ int64_t f5c_detect_events(const float* sig, int64_t n, int rna,
   compute_tstat_pair(sums.data(), sumsqs.data(), n, p.win1, p.win2,
                      t1.data(), t2.data());
   int64_t np_ = peak_detector(t1.data(), t2.data(), n, p, peaks.data());
-  // events between consecutive valid peaks (events.c:466-513)
+  return f5c_events_from_peaks(sums.data(), sumsqs.data(), n,
+                               peaks.data(), np_, ev_start, ev_length,
+                               ev_mean, ev_stdv);
+}
+
+// events between consecutive valid peaks (events.c:466-513); shared by
+// the per-read and lane-parallel detectors
+int64_t f5c_events_from_peaks(const double* sums, const double* sumsqs,
+                              int64_t n, const int64_t* peaks,
+                              int64_t np_, int64_t* ev_start,
+                              float* ev_length, float* ev_mean,
+                              float* ev_stdv) {
   static thread_local std::vector<int64_t> bounds;
   if ((int64_t)bounds.size() < np_ + 2) bounds.resize(np_ + 2);
   int64_t nb = 0;
@@ -342,7 +407,7 @@ int64_t f5c_detect_events(const float* sig, int64_t n, int rna,
     const __m512i vzero = _mm512_setzero_si512();
     const __m512i vn = _mm512_set1_epi64(n);
     for (; pi + 8 <= np_; pi += 8) {
-      __m512i v = _mm512_loadu_si512(peaks.data() + pi);
+      __m512i v = _mm512_loadu_si512(peaks + pi);
       __mmask8 m = _mm512_cmpgt_epi64_mask(v, vzero)
                    & _mm512_cmpgt_epi64_mask(vn, v);
       _mm512_mask_compressstoreu_epi64(bounds.data() + nb, m, v);
@@ -363,10 +428,10 @@ int64_t f5c_detect_events(const float* sig, int64_t n, int rna,
   for (; i + 8 <= n_events; i += 8) {
     __m512i vs = _mm512_loadu_si512(bounds.data() + i);
     __m512i ve = _mm512_loadu_si512(bounds.data() + i + 1);
-    __m512d sum_s = _mm512_i64gather_pd(vs, sums.data(), 8);
-    __m512d sum_e = _mm512_i64gather_pd(ve, sums.data(), 8);
-    __m512d sq_s = _mm512_i64gather_pd(vs, sumsqs.data(), 8);
-    __m512d sq_e = _mm512_i64gather_pd(ve, sumsqs.data(), 8);
+    __m512d sum_s = _mm512_i64gather_pd(vs, sums, 8);
+    __m512d sum_e = _mm512_i64gather_pd(ve, sums, 8);
+    __m512d sq_s = _mm512_i64gather_pd(vs, sumsqs, 8);
+    __m512d sq_e = _mm512_i64gather_pd(ve, sumsqs, 8);
     __m256 len = _mm512_cvtepi64_ps(_mm512_sub_epi64(ve, vs));
     __m256 mean = _mm256_div_ps(
         _mm512_cvtpd_ps(_mm512_sub_pd(sum_e, sum_s)), len);
@@ -395,6 +460,253 @@ int64_t f5c_detect_events(const float* sig, int64_t n, int rna,
     ev_stdv[i] = sqrtf(var > 0.0f ? var : 0.0f);
   }
   return n_events;
+}
+
+#if defined(__AVX512F__)
+// 16x16 f32 transpose: out[e][lane] = rows[lane][e] for one tile.
+static inline void transpose16x16(const __m512 r[16], __m512 o[16]) {
+  __m512 t[16], u[16];
+  for (int g = 0; g < 4; g++) {
+    const __m512 a = r[4 * g], b = r[4 * g + 1];
+    const __m512 c = r[4 * g + 2], d = r[4 * g + 3];
+    t[4 * g + 0] = _mm512_unpacklo_ps(a, b);
+    t[4 * g + 1] = _mm512_unpackhi_ps(a, b);
+    t[4 * g + 2] = _mm512_unpacklo_ps(c, d);
+    t[4 * g + 3] = _mm512_unpackhi_ps(c, d);
+    u[4 * g + 0] = _mm512_shuffle_ps(t[4 * g], t[4 * g + 2], 0x44);
+    u[4 * g + 1] = _mm512_shuffle_ps(t[4 * g], t[4 * g + 2], 0xEE);
+    u[4 * g + 2] = _mm512_shuffle_ps(t[4 * g + 1], t[4 * g + 3], 0x44);
+    u[4 * g + 3] = _mm512_shuffle_ps(t[4 * g + 1], t[4 * g + 3], 0xEE);
+  }
+  // u[g*4+j] sublane s = {rows[4g..4g+3] element 4s+j}
+  for (int j = 0; j < 4; j++) {
+    __m512 q0 = _mm512_shuffle_f32x4(u[0 * 4 + j], u[1 * 4 + j], 0x88);
+    __m512 q1 = _mm512_shuffle_f32x4(u[2 * 4 + j], u[3 * 4 + j], 0x88);
+    __m512 p0 = _mm512_shuffle_f32x4(u[0 * 4 + j], u[1 * 4 + j], 0xDD);
+    __m512 p1 = _mm512_shuffle_f32x4(u[2 * 4 + j], u[3 * 4 + j], 0xDD);
+    o[0 + j] = _mm512_shuffle_f32x4(q0, q1, 0x88);
+    o[8 + j] = _mm512_shuffle_f32x4(q0, q1, 0xDD);
+    o[4 + j] = _mm512_shuffle_f32x4(p0, p1, 0x88);
+    o[12 + j] = _mm512_shuffle_f32x4(p0, p1, 0xDD);
+  }
+}
+
+// Lane-parallel two-detector peak scan: 16 reads advance in lockstep,
+// one AVX-512 lane per read, branch-free per-sample state updates that
+// mirror the oracle's per-sample logic exactly (events_ref.py
+// short_long_peak_detector / events.c:380-452).  Emissions stream to a
+// shared (pos, lane) buffer via compress-stores; a stable counting
+// sort by lane afterwards reproduces each read's (sample, detector)
+// peak order bit-exactly.
+static int64_t peak_scan16(const float* T1, const float* T2,
+                           const int32_t* ns32, int64_t max_n,
+                           const DetectorParams& p,
+                           int32_t* out_pos, int32_t* out_lane) {
+  const __m512 ph = _mm512_set1_ps(p.peak_height);
+  const __m512 th0 = _mm512_set1_ps(p.thresh1);
+  const __m512 th1 = _mm512_set1_ps(p.thresh2);
+  const __m512 fmax = _mm512_set1_ps(FLT_MAX);
+  const __m512i neg1 = _mm512_set1_epi32(-1);
+  const __m512i w0v = _mm512_set1_epi32(p.win1);
+  const __m512i hw0 = _mm512_set1_epi32(p.win1 / 2);
+  const __m512i hw1 = _mm512_set1_epi32(p.win2 / 2);
+  const __m512i nvec = _mm512_loadu_si512(ns32);
+  const __m512i lane_iota = _mm512_setr_epi32(0, 1, 2, 3, 4, 5, 6, 7, 8,
+                                              9, 10, 11, 12, 13, 14, 15);
+  __m512 pv0 = fmax, pv1 = fmax;
+  __m512i pos0 = neg1, pos1 = neg1;
+  __mmask16 valid0 = 0, valid1 = 0;
+  __m512i masked1 = _mm512_setzero_si512();
+  int64_t cnt = 0;
+  for (int64_t i = 1; i < max_n; i++) {
+    const __m512i iv = _mm512_set1_epi32((int32_t)i);
+    const __mmask16 act = _mm512_cmplt_epi32_mask(iv, nvec);
+    // ---- detector 0 (its masked_to only ever skips sample 0) ----
+    {
+      const __m512 v = _mm512_loadu_ps(T1 + i * 16);
+      const __mmask16 look =
+          act & _mm512_cmpeq_epi32_mask(pos0, neg1);
+      const __mmask16 trk = act & ~look;
+      const __mmask16 lt = _mm512_cmp_ps_mask(v, pv0, _CMP_LT_OQ);
+      const __mmask16 enter =
+          look & ~lt &
+          _mm512_cmp_ps_mask(_mm512_sub_ps(v, pv0), ph, _CMP_GT_OQ);
+      pv0 = _mm512_mask_mov_ps(pv0, (__mmask16)((look & lt) | enter), v);
+      pos0 = _mm512_mask_mov_epi32(pos0, enter, iv);
+      const __mmask16 gt =
+          trk & _mm512_cmp_ps_mask(v, pv0, _CMP_GT_OQ);
+      pv0 = _mm512_mask_mov_ps(pv0, gt, v);
+      pos0 = _mm512_mask_mov_epi32(pos0, gt, iv);
+      // over-threshold: mask + reset detector 1 (events.c:419-425)
+      const __mmask16 m_th =
+          _mm512_cmp_ps_mask(pv0, th0, _CMP_GT_OQ);
+      const __mmask16 hot = trk & m_th;
+      masked1 = _mm512_mask_mov_epi32(masked1, hot,
+                                      _mm512_add_epi32(pos0, w0v));
+      pos1 = _mm512_mask_mov_epi32(pos1, hot, neg1);
+      pv1 = _mm512_mask_mov_ps(pv1, hot, fmax);
+      valid1 = (__mmask16)(valid1 & ~hot);
+      valid0 = (__mmask16)(valid0 |
+          (trk & m_th &
+           _mm512_cmp_ps_mask(_mm512_sub_ps(pv0, v), ph, _CMP_GT_OQ)));
+      const __mmask16 em =
+          valid0 & trk &
+          _mm512_cmpgt_epi32_mask(_mm512_sub_epi32(iv, pos0), hw0);
+      if (em) {
+        _mm512_mask_compressstoreu_epi32(out_pos + cnt, em, pos0);
+        _mm512_mask_compressstoreu_epi32(out_lane + cnt, em, lane_iota);
+        cnt += __builtin_popcount((unsigned)em);
+        pos0 = _mm512_mask_mov_epi32(pos0, em, neg1);
+        pv0 = _mm512_mask_mov_ps(pv0, em, v);
+        valid0 = (__mmask16)(valid0 & ~em);
+      }
+    }
+    // ---- detector 1 (maskable by detector 0) ----
+    {
+      const __mmask16 act1 =
+          act & _mm512_cmplt_epi32_mask(masked1, iv);
+      const __m512 v = _mm512_loadu_ps(T2 + i * 16);
+      const __mmask16 look =
+          act1 & _mm512_cmpeq_epi32_mask(pos1, neg1);
+      const __mmask16 trk = act1 & ~look;
+      const __mmask16 lt = _mm512_cmp_ps_mask(v, pv1, _CMP_LT_OQ);
+      const __mmask16 enter =
+          look & ~lt &
+          _mm512_cmp_ps_mask(_mm512_sub_ps(v, pv1), ph, _CMP_GT_OQ);
+      pv1 = _mm512_mask_mov_ps(pv1, (__mmask16)((look & lt) | enter), v);
+      pos1 = _mm512_mask_mov_epi32(pos1, enter, iv);
+      const __mmask16 gt =
+          trk & _mm512_cmp_ps_mask(v, pv1, _CMP_GT_OQ);
+      pv1 = _mm512_mask_mov_ps(pv1, gt, v);
+      pos1 = _mm512_mask_mov_epi32(pos1, gt, iv);
+      valid1 = (__mmask16)(valid1 |
+          (trk &
+           _mm512_cmp_ps_mask(_mm512_sub_ps(pv1, v), ph, _CMP_GT_OQ) &
+           _mm512_cmp_ps_mask(pv1, th1, _CMP_GT_OQ)));
+      const __mmask16 em =
+          valid1 & trk &
+          _mm512_cmpgt_epi32_mask(_mm512_sub_epi32(iv, pos1), hw1);
+      if (em) {
+        _mm512_mask_compressstoreu_epi32(out_pos + cnt, em, pos1);
+        _mm512_mask_compressstoreu_epi32(out_lane + cnt, em, lane_iota);
+        cnt += __builtin_popcount((unsigned)em);
+        pos1 = _mm512_mask_mov_epi32(pos1, em, neg1);
+        pv1 = _mm512_mask_mov_ps(pv1, em, v);
+        valid1 = (__mmask16)(valid1 & ~em);
+      }
+    }
+  }
+  return cnt;
+}
+#endif  // __AVX512F__
+
+// Lane-parallel event detection over a batch of reads: per-read prefix
+// sums + t-stat tracks (vectorised spans), then the two-detector peak
+// scan runs 16 reads per AVX-512 register instead of one branchy
+// scalar state machine per read (~12x on the scan, the largest single
+// component of the host detect).  Bit-identical to per-read
+// f5c_detect_events; falls back to it without AVX-512.
+void f5c_detect_events_many(
+    int64_t nb, const float* const* pas, const int64_t* ns, int rna,
+    int64_t* const* ev_start, float* const* ev_length,
+    float* const* ev_mean, float* const* ev_stdv, int64_t* n_events) {
+#if !defined(__AVX512F__)
+  for (int64_t r = 0; r < nb; r++)
+    n_events[r] = f5c_detect_events(pas[r], ns[r], rna, ev_start[r],
+                                    ev_length[r], ev_mean[r], ev_stdv[r]);
+#else
+  DetectorParams p;
+  if (rna) {
+    p = {7, 14, 2.5f, 9.0f, 1.0f};
+  } else {
+    p = {3, 6, 1.4f, 9.0f, 0.2f};
+  }
+  static thread_local std::vector<double> sums[16], sumsqs[16];
+  static thread_local std::vector<float> t1l[16], t2l[16];
+  static thread_local std::vector<float> T1, T2;
+  static thread_local std::vector<int32_t> epos, elane;
+  static thread_local std::vector<int64_t> pk;
+  for (int64_t g0 = 0; g0 < nb; g0 += 16) {
+    const int nl = (int)std::min<int64_t>(16, nb - g0);
+    int64_t max_n = 0;
+    for (int j = 0; j < nl; j++)
+      max_n = std::max(max_n, ns[g0 + j]);
+    const int64_t maxp = (max_n + 15) / 16 * 16;
+    int32_t ns32[16] = {0};
+    for (int j = 0; j < nl; j++) {
+      const int64_t n = ns[g0 + j];
+      ns32[j] = (int32_t)n;
+      if ((int64_t)sums[j].size() < n + 1) {
+        sums[j].resize(n + 1);
+        sumsqs[j].resize(n + 1);
+      }
+      if ((int64_t)t1l[j].size() < maxp) {
+        t1l[j].resize(maxp);
+        t2l[j].resize(maxp);
+      }
+      const float* sig = pas[g0 + j];
+      sums[j][0] = 0.0;
+      sumsqs[j][0] = 0.0;
+      for (int64_t i = 0; i < n; i++) {
+        float v = sig[i];
+        sums[j][i + 1] = sums[j][i] + (double)v;
+        sumsqs[j][i + 1] = sumsqs[j][i] + (double)(v * v);
+      }
+      compute_tstat_pair(sums[j].data(), sumsqs[j].data(), n, p.win1,
+                         p.win2, t1l[j].data(), t2l[j].data());
+      memset(t1l[j].data() + n, 0, (maxp - n) * sizeof(float));
+      memset(t2l[j].data() + n, 0, (maxp - n) * sizeof(float));
+    }
+    for (int j = nl; j < 16; j++) {
+      if ((int64_t)t1l[j].size() < maxp) {
+        t1l[j].resize(maxp);
+        t2l[j].resize(maxp);
+      }
+      memset(t1l[j].data(), 0, maxp * sizeof(float));
+      memset(t2l[j].data(), 0, maxp * sizeof(float));
+    }
+    if ((int64_t)T1.size() < maxp * 16) {
+      T1.resize(maxp * 16);
+      T2.resize(maxp * 16);
+    }
+    __m512 rows[16], cols[16];
+    for (int64_t i0 = 0; i0 < maxp; i0 += 16) {
+      for (int j = 0; j < 16; j++)
+        rows[j] = _mm512_loadu_ps(t1l[j].data() + i0);
+      transpose16x16(rows, cols);
+      for (int e = 0; e < 16; e++)
+        _mm512_storeu_ps(T1.data() + (i0 + e) * 16, cols[e]);
+      for (int j = 0; j < 16; j++)
+        rows[j] = _mm512_loadu_ps(t2l[j].data() + i0);
+      transpose16x16(rows, cols);
+      for (int e = 0; e < 16; e++)
+        _mm512_storeu_ps(T2.data() + (i0 + e) * 16, cols[e]);
+    }
+    int64_t sum_n = 0;
+    for (int j = 0; j < nl; j++) sum_n += ns[g0 + j];
+    if ((int64_t)epos.size() < sum_n * 2 + 64) {
+      epos.resize(sum_n * 2 + 64);
+      elane.resize(sum_n * 2 + 64);
+    }
+    const int64_t cnt = peak_scan16(T1.data(), T2.data(), ns32, max_n,
+                                    p, epos.data(), elane.data());
+    // stable counting sort by lane -> per-read peak sequences
+    int64_t lc[17] = {0};
+    for (int64_t e = 0; e < cnt; e++) lc[elane[e] + 1]++;
+    for (int j = 0; j < 16; j++) lc[j + 1] += lc[j];
+    if ((int64_t)pk.size() < cnt + 16) pk.resize(cnt + 16);
+    int64_t cur[16];
+    memcpy(cur, lc, sizeof(cur));
+    for (int64_t e = 0; e < cnt; e++)
+      pk[cur[elane[e]]++] = epos[e];
+    for (int j = 0; j < nl; j++) {
+      n_events[g0 + j] = f5c_events_from_peaks(
+          sums[j].data(), sumsqs[j].data(), ns[g0 + j],
+          pk.data() + lc[j], lc[j + 1] - lc[j], ev_start[g0 + j],
+          ev_length[g0 + j], ev_mean[g0 + j], ev_stdv[g0 + j]);
+    }
+  }
+#endif
 }
 
 // ADC to pA: (raw + offset) * range / digitisation (f5c.c:693-696).

@@ -269,6 +269,55 @@ def _worker_load(args):
                                sig.sample_rate, pa, ranks=ranks, sc=sc)
 
 
+def _worker_load_many(items):
+    """Batched host load for the single-worker wave path: per-read
+    signal fetch, then ONE lane-parallel native detect call (16 reads
+    per AVX-512 register in the peak scan — the largest single host
+    detect component), then per-read ranks + MoM.  Byte-identical to
+    mapping _worker_load (the threaded path keeps per-read prep_read,
+    which scales with host cores instead)."""
+    from .. import native
+
+    if not native.available():
+        return [_worker_load(it) for it in items]
+    from ..ops.abea_ref import Scalings
+
+    model = _W["model"]
+    rna = _W["rna"]
+    n = len(items)
+    out = [None] * n
+    sigs = [None] * n
+    for j, (qname, path, seq, keep_raw) in enumerate(items):
+        sig = _fetch_signal(qname, path)
+        if sig is None:
+            out[j] = (qname, None)
+        else:
+            sigs[j] = sig
+    todo = [j for j in range(n) if sigs[j] is not None]
+    pas = {}
+    for j in todo:
+        s = sigs[j]
+        if s.raw.dtype == np.int16 and s.raw.flags.c_contiguous:
+            pas[j] = native.adc_to_pa(s.raw, s.digitisation, s.offset,
+                                      s.range)
+        else:
+            pas[j] = np.ascontiguousarray(s.to_pa(), np.float32)
+    ets = native.detect_events_many([pas[j] for j in todo], rna=rna)
+    for j, et in zip(todo, ets):
+        qname, path, seq, keep_raw = items[j]
+        s = sigs[j]
+        ranks = native.kmer_ranks(seq, model.k)
+        if et.mean.shape[0] and ranks.shape[0]:
+            sc = native.mom_scalings(et.mean, ranks, model.level_mean)
+        else:
+            sc = Scalings(shift=0.0, scale=1.0)
+        out[j] = (qname, _finish_load(
+            model, rna, seq, et.start, et.length, et.mean, et.stdv,
+            s.nsample, s.sample_rate, pas[j] if keep_raw else None,
+            ranks=ranks, sc=sc))
+    return out
+
+
 def _finish_load(model, rna, seq, starts, lengths, means, stdvs,
                  nsample, sample_rate, raw_pa, ranks=None, sc=None):
     """Shared tail of both event-detection engines: ranks + MoM (when
@@ -1222,11 +1271,9 @@ class Pipeline:
                         [(batch[i].qname, batch[i].signal_path,
                           batch[i].seq, keep_raw) for i in w]))
                 else:
-                    loaded = [
-                        _worker_load((batch[i].qname,
-                                      batch[i].signal_path,
-                                      batch[i].seq, keep_raw))
-                        for i in w]
+                    loaded = _worker_load_many(
+                        [(batch[i].qname, batch[i].signal_path,
+                          batch[i].seq, keep_raw) for i in w])
             for i, (qname, data) in zip(w, loaded):
                 r = batch[i]
                 if not self._populate_read(r, data):
@@ -1981,6 +2028,10 @@ class Pipeline:
                 self.stage_detail["hmm.dispatch_enqueue"] += (
                     time.time() - t_disp)
                 self.stage_detail["hmm.n_dispatch"] += 1
+                try:
+                    s.copy_to_host_async()
+                except AttributeError:
+                    pass
                 pending.append((idxs, n_sub, s))
                 continue
             t_rk = time.time()
@@ -2047,6 +2098,10 @@ class Pipeline:
             self.stage_detail["hmm.dispatch_enqueue"] += (time.time()
                                                           - t_disp)
             self.stage_detail["hmm.n_dispatch"] += 1
+            try:
+                s.copy_to_host_async()
+            except AttributeError:
+                pass
             pending.append((idxs, n_sub, s))
         large = order[ksizes[order] > 128]
         if large.size:
@@ -2080,6 +2135,10 @@ class Pipeline:
             self.stage_detail["hmm.dispatch_enqueue"] += (time.time()
                                                           - t_disp)
             self.stage_detail["hmm.n_dispatch"] += 1
+            try:
+                s.copy_to_host_async()
+            except AttributeError:
+                pass
             pending.append((idxs, n_sub, s))
         for *_ , s in pending:
             try:
