@@ -1093,10 +1093,18 @@ def run_eventalign(pipe, args, out=sys.stdout):
                     recs, r, pipe.model, contig, recs.ref_disamb,
                     recs.ref_offset, r.read_idx, print_rn, signal_index))
             else:
-                sink.write(emit_tsv(
-                    recs, r, pipe.model, contig, recs.ref_disamb,
-                    recs.ref_offset, r.read_idx, print_rn, scale_events,
-                    samples, signal_index, collapse, as_bytes=True))
+                # render on the AsyncWriter thread (write_lazy): the
+                # native emitter releases the GIL, so on multi-core
+                # hosts row rendering overlaps the next batch's realign
+                # (the meth path's SoA render pattern;
+                # src/eventalign.c:1574-2176)
+                import functools as _ft
+
+                sink.write_lazy(_ft.partial(
+                    emit_tsv, recs, r, pipe.model, contig,
+                    recs.ref_disamb, recs.ref_offset, r.read_idx,
+                    print_rn, scale_events, samples, signal_index,
+                    collapse, as_bytes=True))
         pipe.stage_time["output"] += _time.time() - t0
     t0 = _time.time()
     sink.close()
