@@ -1834,15 +1834,11 @@ int f5c_decode_postalign(
     // walk order is reverse path order; fill ascending from the back
     pairs_k[n - 1 - i] = (int32_t)k;
     pairs_e[n - 1 - i] = (int32_t)e;
+    // branch-free decode (0=FROM_D: k-1,e-1; 1=FROM_U: e-1; 2=FROM_L:
+    // k-1) — the direction stream mispredicts branches constantly
     int d = (packed_dirs[i >> 2] >> ((i & 3) * 2)) & 3;
-    if (d == 1) {            // FROM_U: stay on kmer, previous event
-      e -= 1;
-    } else if (d == 0) {     // FROM_D: previous kmer and event
-      k -= 1;
-      e -= 1;
-    } else {                 // FROM_L: skip kmer
-      k -= 1;
-    }
+    k -= d != 1;
+    e -= d < 2;
   }
   return f5c_postalign_recalibrate(
       pairs_k, pairs_e, n, ranks, n_kmers, event_means, level_mean,
@@ -1888,19 +1884,15 @@ int f5c_decode_qc_postalign(
     pairs_k[n - 1 - i] = (int32_t)k;
     pairs_e[n - 1 - i] = (int32_t)e;
     last_k = k;
+    // branch-free: the direction stream flips every few steps, so
+    // data-dependent branches mispredict constantly (0=step: k-1,e-1;
+    // 1=stay: e-1; 2=skip: k-1, gap run)
     int d = (packed_dirs[i >> 2] >> ((i & 3) * 2)) & 3;
-    if (d == 1) {            // stay: previous event
-      e -= 1;
-      gap = 0;
-    } else if (d == 0) {     // step: previous kmer and event
-      k -= 1;
-      e -= 1;
-      gap = 0;
-    } else {                 // skip kmer
-      k -= 1;
-      gap += 1;
-    }
-    if (gap > max_gap) max_gap = gap;
+    int is_skip = d >= 2;      // (3 is invalid; grouped with skip as
+    k -= d != 1;               // the branchy original's else did)
+    e -= d < 2;
+    gap = (gap + 1) & -is_skip;
+    max_gap = gap > max_gap ? gap : max_gap;
   }
   // pass 2: per-pair Gaussian log emission, element-exact and freely
   // vectorisable (gathers); the ACCUMULATION stays a separate serial
