@@ -644,14 +644,61 @@ void f5c_detect_events_many(
         t1l[j].resize(maxp);
         t2l[j].resize(maxp);
       }
-      const float* sig = pas[g0 + j];
       sums[j][0] = 0.0;
       sumsqs[j][0] = 0.0;
-      for (int64_t i = 0; i < n; i++) {
-        float v = sig[i];
-        sums[j][i + 1] = sums[j][i] + (double)v;
-        sumsqs[j][i + 1] = sumsqs[j][i] + (double)(v * v);
+    }
+    // prefix sums 4 reads at a time: each read's chain is serial (FP
+    // add latency bound), but 8 chains across 4 reads fill the adder
+    // ports — same per-read add order, bit-identical
+    for (int q0 = 0; q0 < nl; q0 += 4) {
+      const int qn = std::min(4, nl - q0);
+      if (qn == 4) {
+        const float* sg[4];
+        double* so[4];
+        double* qo[4];
+        int64_t nmin = INT64_MAX;
+        for (int l = 0; l < 4; l++) {
+          sg[l] = pas[g0 + q0 + l];
+          so[l] = sums[q0 + l].data();
+          qo[l] = sumsqs[q0 + l].data();
+          nmin = std::min(nmin, ns[g0 + q0 + l]);
+        }
+        double s0 = 0, s1 = 0, s2 = 0, s3 = 0;
+        double t0 = 0, t1 = 0, t2 = 0, t3 = 0;
+        for (int64_t i = 0; i < nmin; i++) {
+          float v0 = sg[0][i], v1 = sg[1][i];
+          float v2 = sg[2][i], v3 = sg[3][i];
+          s0 += (double)v0; t0 += (double)(v0 * v0);
+          s1 += (double)v1; t1 += (double)(v1 * v1);
+          s2 += (double)v2; t2 += (double)(v2 * v2);
+          s3 += (double)v3; t3 += (double)(v3 * v3);
+          so[0][i + 1] = s0; qo[0][i + 1] = t0;
+          so[1][i + 1] = s1; qo[1][i + 1] = t1;
+          so[2][i + 1] = s2; qo[2][i + 1] = t2;
+          so[3][i + 1] = s3; qo[3][i + 1] = t3;
+        }
+        for (int l = 0; l < 4; l++) {
+          for (int64_t i = nmin; i < ns[g0 + q0 + l]; i++) {
+            float v = sg[l][i];
+            so[l][i + 1] = so[l][i] + (double)v;
+            qo[l][i + 1] = qo[l][i] + (double)(v * v);
+          }
+        }
+      } else {
+        for (int l = 0; l < qn; l++) {
+          const float* sig = pas[g0 + q0 + l];
+          double* so = sums[q0 + l].data();
+          double* qo = sumsqs[q0 + l].data();
+          for (int64_t i = 0; i < ns[g0 + q0 + l]; i++) {
+            float v = sig[i];
+            so[i + 1] = so[i] + (double)v;
+            qo[i + 1] = qo[i] + (double)(v * v);
+          }
+        }
       }
+    }
+    for (int j = 0; j < nl; j++) {
+      const int64_t n = ns[g0 + j];
       compute_tstat_pair(sums[j].data(), sumsqs[j].data(), n, p.win1,
                          p.win2, t1l[j].data(), t2l[j].data());
       memset(t1l[j].data() + n, 0, (maxp - n) * sizeof(float));
