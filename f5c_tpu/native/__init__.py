@@ -66,6 +66,11 @@ def _declare(lib):
     lib.f5c_detect_events_many.restype = None
     lib.f5c_detect_events_many.argtypes = [
         _i64, _u64p, _i64p, _int, _u64p, _u64p, _u64p, _u64p, _i64p]
+    lib.f5c_prep_reads_many.restype = None
+    lib.f5c_prep_reads_many.argtypes = [
+        _i64, _u64p, _i64p, _f32p, _f32p, _f32p, _int,
+        _u64p, _i64p, _int, _f32p, _u64p,
+        _u64p, _u64p, _u64p, _u64p, _u64p, _i64p, _i64p, _f32p, _f32p]
     lib.f5c_kmer_ranks.restype = _i64
     lib.f5c_kmer_ranks.argtypes = [_i8p, _i64, _int, _int, _i32p]
     lib.f5c_mom_scalings.restype = None
@@ -275,6 +280,69 @@ def detect_events_many(pas: list, rna: bool = False):
                        mean=means[r][:n_events[r]].copy(),
                        stdv=stdvs[r][:n_events[r]].copy())
             for r in range(nb)]
+
+
+def prep_reads_many(sigs: list, seqs: list, k: int,
+                    level_mean: np.ndarray, rna: bool = False,
+                    keep_pa: bool = False):
+    """Whole event_single stage for a batch in ONE native call:
+    ADC->pA + lane-parallel detect + ranks + MoM (f5c.c:691-745).
+    ``sigs`` are Signal records with C-contiguous int16 raw.  Returns a
+    list of (EventTable, ranks, Scalings, pa-or-None)."""
+    from ..ops.abea_ref import Scalings
+    from ..ops.events_ref import EventTable
+
+    lib = get_lib()
+    nb = len(sigs)
+    if nb == 0:
+        return []
+    ns = np.array([s.raw.shape[0] for s in sigs], dtype=np.int64)
+    seq_b = [s.encode("ascii") if isinstance(s, str) else s
+             for s in seqs]
+    seq_lens = np.array([len(s) for s in seq_b], dtype=np.int64)
+    starts = [np.empty(n + 1, dtype=np.int64) for n in ns]
+    lengths = [np.empty(n + 1, dtype=np.float32) for n in ns]
+    means = [np.empty(n + 1, dtype=np.float32) for n in ns]
+    stdvs = [np.empty(n + 1, dtype=np.float32) for n in ns]
+    rkbufs = [np.empty(max(sl - k + 1, 1), dtype=np.int32)
+              for sl in seq_lens]
+    pas = ([np.empty(n, dtype=np.float32) for n in ns] if keep_pa
+           else None)
+
+    def ptrs(arrs):
+        return np.array([a.ctypes.data for a in arrs], dtype=np.uint64)
+
+    def bptrs(bufs):
+        return np.array([ctypes.cast(ctypes.c_char_p(b),
+                                     ctypes.c_void_p).value or 0
+                         for b in bufs], dtype=np.uint64)
+
+    n_events = np.empty(nb, dtype=np.int64)
+    n_kmers = np.empty(nb, dtype=np.int64)
+    shifts = np.empty(nb, dtype=np.float32)
+    scales = np.empty(nb, dtype=np.float32)
+    # keep the bytes objects alive across the call
+    _keep = seq_b
+    lib.f5c_prep_reads_many(
+        nb, ptrs([s.raw for s in sigs]), ns,
+        np.array([s.digitisation for s in sigs], np.float32),
+        np.array([s.offset for s in sigs], np.float32),
+        np.array([s.range for s in sigs], np.float32),
+        int(rna), bptrs(seq_b), seq_lens, k, level_mean,
+        ptrs(pas) if keep_pa else np.zeros(nb, np.uint64),
+        ptrs(starts), ptrs(lengths), ptrs(means), ptrs(stdvs),
+        ptrs(rkbufs), n_kmers, n_events, shifts, scales)
+    out = []
+    for r in range(nb):
+        ne = n_events[r]
+        et = EventTable(start=starts[r][:ne].copy(),
+                        length=lengths[r][:ne].copy(),
+                        mean=means[r][:ne].copy(),
+                        stdv=stdvs[r][:ne].copy())
+        sc = Scalings(shift=float(shifts[r]), scale=float(scales[r]))
+        out.append((et, rkbufs[r][:n_kmers[r]], sc,
+                    pas[r] if keep_pa else None))
+    return out
 
 
 def prep_read(raw: np.ndarray, digitisation: float, offset: float,

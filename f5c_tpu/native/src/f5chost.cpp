@@ -61,6 +61,14 @@ int64_t f5c_events_from_peaks(const double* sums, const double* sumsqs,
 int64_t f5c_detect_events(const float* sig, int64_t n, int rna,
                           int64_t* ev_start, float* ev_length,
                           float* ev_mean, float* ev_stdv);
+void f5c_adc_to_pa(const int16_t* raw, int64_t n, float digitisation,
+                   float offset, float range, float* out);
+int64_t f5c_kmer_ranks(const char* seq, int64_t n, int k, int meth,
+                       int32_t* out);
+void f5c_mom_scalings(const float* event_means, int64_t n_events,
+                      const int32_t* ranks, int64_t n_kmers,
+                      const float* level_mean, float* shift_out,
+                      float* scale_out);
 
 // ---------------------------------------------------------------------------
 // Event detection (reference src/events.c; oracle ops/events_ref.py)
@@ -754,6 +762,55 @@ void f5c_detect_events_many(
     }
   }
 #endif
+}
+
+// Whole event_single stage for a batch in ONE call: ADC->pA +
+// lane-parallel detect + k-mer ranks + MoM per read (f5c.c:691-745).
+// ptrs arrays carry raw int16 / seq / output buffer addresses; pa_ptrs
+// entries may be 0 (pA kept in grow-only scratch).
+void f5c_prep_reads_many(
+    int64_t nb, const uint64_t* raw_ptrs, const int64_t* n_samples,
+    const float* digs, const float* offs, const float* rngs, int rna,
+    const uint64_t* seq_ptrs, const int64_t* seq_lens, int k,
+    const float* level_mean,
+    const uint64_t* pa_ptrs,
+    const uint64_t* ev_start_ptrs, const uint64_t* ev_len_ptrs,
+    const uint64_t* ev_mean_ptrs, const uint64_t* ev_stdv_ptrs,
+    const uint64_t* ranks_ptrs, int64_t* n_kmers_out,
+    int64_t* n_events_out, float* shifts, float* scales) {
+  static thread_local std::vector<float> pa_pool;
+  static thread_local std::vector<uint64_t> pav;
+  int64_t total = 0;
+  for (int64_t r = 0; r < nb; r++)
+    if (!pa_ptrs[r]) total += n_samples[r];
+  if ((int64_t)pa_pool.size() < total) pa_pool.resize(total);
+  if ((int64_t)pav.size() < nb) pav.resize(nb);
+  int64_t off = 0;
+  for (int64_t r = 0; r < nb; r++) {
+    float* pa = pa_ptrs[r] ? (float*)pa_ptrs[r] : pa_pool.data() + off;
+    if (!pa_ptrs[r]) off += n_samples[r];
+    f5c_adc_to_pa((const int16_t*)raw_ptrs[r], n_samples[r], digs[r],
+                  offs[r], rngs[r], pa);
+    pav[r] = (uint64_t)pa;
+  }
+  f5c_detect_events_many(
+      nb, (const float* const*)pav.data(), n_samples, rna,
+      (int64_t* const*)ev_start_ptrs, (float* const*)ev_len_ptrs,
+      (float* const*)ev_mean_ptrs, (float* const*)ev_stdv_ptrs,
+      n_events_out);
+  for (int64_t r = 0; r < nb; r++) {
+    int64_t nk = f5c_kmer_ranks((const char*)seq_ptrs[r], seq_lens[r],
+                                k, 0, (int32_t*)ranks_ptrs[r]);
+    n_kmers_out[r] = nk;
+    if (n_events_out[r] > 0 && nk > 0)
+      f5c_mom_scalings((const float*)ev_mean_ptrs[r], n_events_out[r],
+                       (const int32_t*)ranks_ptrs[r], nk, level_mean,
+                       shifts + r, scales + r);
+    else {
+      shifts[r] = 0.0f;
+      scales[r] = 1.0f;
+    }
+  }
 }
 
 // ADC to pA: (raw + offset) * range / digitisation (f5c.c:693-696).

@@ -293,28 +293,35 @@ def _worker_load_many(items):
             out[j] = (qname, None)
         else:
             sigs[j] = sig
-    todo = [j for j in range(n) if sigs[j] is not None]
-    pas = {}
-    for j in todo:
-        s = sigs[j]
-        if s.raw.dtype == np.int16 and s.raw.flags.c_contiguous:
-            pas[j] = native.adc_to_pa(s.raw, s.digitisation, s.offset,
-                                      s.range)
-        else:
-            pas[j] = np.ascontiguousarray(s.to_pa(), np.float32)
-    ets = native.detect_events_many([pas[j] for j in todo], rna=rna)
-    for j, et in zip(todo, ets):
-        qname, path, seq, keep_raw = items[j]
-        s = sigs[j]
-        ranks = native.kmer_ranks(seq, model.k)
-        if et.mean.shape[0] and ranks.shape[0]:
-            sc = native.mom_scalings(et.mean, ranks, model.level_mean)
-        else:
-            sc = Scalings(shift=0.0, scale=1.0)
-        out[j] = (qname, _finish_load(
-            model, rna, seq, et.start, et.length, et.mean, et.stdv,
-            s.nsample, s.sample_rate, pas[j] if keep_raw else None,
-            ranks=ranks, sc=sc))
+    todo = [j for j in range(n) if sigs[j] is not None
+            and sigs[j].raw.dtype == np.int16
+            and sigs[j].raw.flags.c_contiguous]
+    # non-int16 raws (only the raw-dump cache produces them, which
+    # never reaches the wave loader) go through the per-read fallback
+    for j in range(n):
+        if out[j] is None and j not in set(todo):
+            qname, path, seq, keep_raw = items[j]
+            pa = np.ascontiguousarray(sigs[j].to_pa(), np.float32)
+            et = native.detect_events(pa, rna=rna)
+            ranks = native.kmer_ranks(seq, model.k)
+            sc = (native.mom_scalings(et.mean, ranks, model.level_mean)
+                  if et.mean.shape[0] and ranks.shape[0]
+                  else Scalings(shift=0.0, scale=1.0))
+            out[j] = (qname, _finish_load(
+                model, rna, seq, et.start, et.length, et.mean, et.stdv,
+                sigs[j].nsample, sigs[j].sample_rate,
+                pa if keep_raw else None, ranks=ranks, sc=sc))
+    if todo:
+        keep_raw = items[todo[0]][3]
+        prepped = native.prep_reads_many(
+            [sigs[j] for j in todo], [items[j][2] for j in todo],
+            model.k, model.level_mean, rna=rna, keep_pa=keep_raw)
+        for j, (et, ranks, sc, pa) in zip(todo, prepped):
+            qname, path, seq, _kr = items[j]
+            s = sigs[j]
+            out[j] = (qname, _finish_load(
+                model, rna, seq, et.start, et.length, et.mean, et.stdv,
+                s.nsample, s.sample_rate, pa, ranks=ranks, sc=sc))
     return out
 
 
