@@ -56,9 +56,6 @@ def _run_align(tmp_root: str, tag: str, mesh: bool, n_reads: int):
     import time
 
     import io
-    from types import SimpleNamespace
-
-    from f5c_tpu.pipeline.eventalign import run_eventalign
 
     os.environ["F5C_TPU_INTERPRET"] = "1"
     os.environ["F5C_TPU_MESH"] = "1" if mesh else "0"
@@ -88,10 +85,23 @@ def _run_align(tmp_root: str, tag: str, mesh: bool, n_reads: int):
                        for pos, s in scored.items()),
             )
         # eventalign through the sharded lockstep Viterbi rounds
-        # (parallel/mesh.py:shard_viterbi_rounds under the mesh)
+        # (parallel/mesh.py:shard_viterbi_rounds under the mesh),
+        # reusing the batch already aligned above (the align stage is
+        # the slow part off-chip in interpreter mode)
+        from f5c_tpu.pipeline.eventalign import (EventalignEngine,
+                                                 emit_tsv)
+
+        engine = EventalignEngine(pipe.model)
+        ok = [r for r in batch
+              if not r.status and r.b2e_start is not None]
+        refs = [pipe._fetch_ref_segment(r) for r in ok]
+        recs_map = engine.realign_batch(ok, refs)
         ea = io.StringIO()
-        pipe_ea = _mini_pipeline(d, n_reads)
-        run_eventalign(pipe_ea, SimpleNamespace(), out=ea)
+        for i, r in enumerate(ok):
+            recs = recs_map[id(r)]
+            ea.write(emit_tsv(recs, r, pipe.model,
+                              pipe.bam.references[r.tid],
+                              recs.ref_disamb, recs.ref_offset, i))
         out["__eventalign__"] = ea.getvalue()
         return out
     finally:
