@@ -1745,13 +1745,17 @@ class Pipeline:
             # reads it could not cover (ultra-long, oversized slabs)
             covered = self._meth_covered
             self._meth_states = None
-            sites = self._meth_finish(states)
             leftovers = [r for r in batch
                          if not r.status and r.b2e_start is not None
                          and id(r) not in covered]
-            if leftovers:
-                sites.update(self._meth_batch_native(leftovers))
-            return sites
+            extra = (self._meth_batch_native(leftovers) if leftovers
+                     else {})
+            # lazy per-state resolution: the output loop queues early
+            # reads' rows to the writer thread BEFORE blocking on the
+            # tail waves' scores, and the device wait releases the GIL
+            # — render and score-sync genuinely overlap, even on one
+            # host core
+            return _LazySites(self, states, extra)
         if native.available():
             return self._meth_batch_native(batch)
         from ..ops.hmm import hmm_forward_batch, make_hmm_batch
@@ -2402,6 +2406,35 @@ class Pipeline:
                     "failed. Check --pore / --rna against the dataset "
                     "chemistry (meth_main.c:821-837).\n")
         return 0
+
+
+class _LazySites:
+    """Per-state lazy view of the wave pipeline's meth scores: a read's
+    sites finalize (score sync + MethCalls assembly) on first access,
+    so the tail waves' HMM device time is paid only when a read that
+    needs it is emitted — by which point the writer thread is already
+    rendering the earlier waves' rows."""
+
+    def __init__(self, pipe, states, extra):
+        self._pipe = pipe
+        self._states = states
+        self._done = dict(extra)
+        self._owner = {}
+        for si, st in enumerate(states):
+            for r in st[0]:
+                self._owner[id(r)] = si
+        self._final = [False] * len(states)
+
+    def get(self, rid, default=None):
+        if rid in self._done:
+            return self._done[rid]
+        si = self._owner.get(rid)
+        if si is None or self._final[si]:
+            return default
+        self._done.update(self._pipe._meth_finish([self._states[si]]))
+        self._final[si] = True
+        self._states[si] = None
+        return self._done.get(rid, default)
 
 
 def _render_meth_rows(contig: str, qname: str, is_reverse: bool,
