@@ -42,10 +42,12 @@ def _ring_reference(model, ev, kr, lps):
             b *= 2
         return b
 
+    from f5c_tpu.ops.abea_ring import R
+
     nev, nk = ev.shape[0], kr.shape[0]
     E, K = bucket(nev), bucket(nk)
     nb = ((E + K + 2 + CHUNK - 1) // CHUNK) * CHUNK
-    B = 8
+    B = R                 # one duplicated read per sublane tile row
     byte_cap = np.full(B, (nev + nk + 3) // 4, np.int64)
     off = np.zeros(B + 1, np.int32)
     np.cumsum(byte_cap, out=off[1:])
