@@ -2331,7 +2331,11 @@ class Pipeline:
                         self._count_failure(r)
                         continue
                     self.counters["processed"] += 1
+                    tg = time.time()
                     site_map = sites_by_read.get(id(r), {})
+                    # a lazy get may sync HMM scores (counted under
+                    # "hmm" by _meth_finish); exclude it from "output"
+                    t0 += time.time() - tg
                     if not site_map:
                         continue
                     contig = self.bam.references[r.tid]
