@@ -931,7 +931,8 @@ class Pipeline:
             E = _bucket(max(x.n_events for x in cand))
             K = _bucket(max(len(x.seq) for x in cand) - self.model.k + 1)
             nb = E + K + 2
-            b_pad = _bucket(len(cand), minimum=8)
+            from ..ops.abea_ring import R as _RS
+            b_pad = _bucket(len(cand), minimum=_RS)
             if sub and b_pad * nb * 128 * 4 > self.TRACE_BYTES_BUDGET:
                 self._trace_budget_splits += 1
                 self._align_subbatch(sub, [ranks[id(x)] for x in sub])
@@ -1535,7 +1536,8 @@ class Pipeline:
         groups = [todo[d::D] for d in range(D)]
         granks = [[ranks[i] for i in range(d, len(todo), D)]
                   for d in range(D)]
-        per_dev = [self._abea_concat_arrays(g, rk, pad_to=8)
+        from ..ops.abea_ring import R as RSTEP
+        per_dev = [self._abea_concat_arrays(g, rk, pad_to=RSTEP)
                    for g, rk in zip(groups, granks)]
         Bd = max(a[1].shape[0] for a in per_dev)        # padded read count
         L_e = _bucket(max(a[0].shape[0] for a in per_dev), minimum=1024)

@@ -26,7 +26,8 @@ def main():
     interpret = jax.default_backend() == "cpu"
     model = builtin_model("dna_r9_nucleotide")
     rng = np.random.default_rng(int(os.environ.get("SEED", 0)))
-    B = 8
+    from f5c_tpu.ops.abea_ring import R
+    B = R
     evs, krs = [], []
     for b in range(B):
         nk = int(rng.integers(60, 500))

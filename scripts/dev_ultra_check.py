@@ -38,7 +38,8 @@ def main():
         return b
     E, K = bucket(nev), bucket(nk)
     nb = ((E + K + 2 + CHUNK - 1)//CHUNK)*CHUNK
-    B = 8
+    from f5c_tpu.ops.abea_ring import R
+    B = R
     byte_cap = np.full(B, (nev + nk + 3)//4, np.int64)
     off = np.zeros(B+1, np.int32); np.cumsum(byte_cap, out=off[1:])
     cap = bucket(int(off[-1]), 4096)
