@@ -306,7 +306,7 @@ def abea_fill_ring(batch: AbeaBatch, kmean_rev, kstdv_rev, klog_rev,
     """Event-ring fill.  ``k*_rev`` are the PADDED kmer param rows flipped
     on the lane axis.  Returns (trace, best) — see module docstring."""
     B = batch.event_means.shape[0]
-    assert B % R == 0, "batch must be padded to a multiple of 8 reads"
+    assert B % R == 0, f"batch must be padded to a multiple of R={R} reads"
     assert n_bands % CHUNK == 0
     E = batch.event_means.shape[1] - 2 * PAD
     K = kmean_rev.shape[1] - 2 * PAD
