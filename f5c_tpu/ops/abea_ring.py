@@ -1,4 +1,4 @@
-"""ABEA band fill + walk — event-ring Pallas kernel (8 reads/step).
+"""ABEA band fill + walk — event-ring Pallas kernel (R reads/step).
 
 Third-generation layout.  A band cell (k, e) lives at lane ``e mod 128``
 (a cyclic ring over event index).  Why this wins over the kmer-anchored
@@ -29,7 +29,7 @@ layout:
   per step.
 
 Output contract:
-- ``trace`` i32 [B/8, n_bands/4, 8, 128]: packed direction words
+- ``trace`` i32 [B/R, n_bands/4, R, 128]: packed direction words
   (0=step/diag, 1=stay/up, 2=skip/left); word (q, l) bit
   ``8*jj + 2*ii`` = direction of band ``4q+jj`` at lane ``(l-ii)%128``.
 - ``best`` i32 [B, 128]: lane 0 = backtrace start event or -1
