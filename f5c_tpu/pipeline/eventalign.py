@@ -423,10 +423,15 @@ class EventalignEngine:
             # whole-read native loop: the chunk chain is strictly
             # sequential per read, and on the tunnelled chip the host
             # C++ path beats device rounds; one call per read removes
-            # ~200us/chunk of Python+ctypes overhead (f5c_realign_read)
+            # ~200us/chunk of Python+ctypes overhead (f5c_realign_read).
+            # Reads are independent and the DP releases the GIL, so a
+            # thread pool scales the loop with host cores (the role of
+            # the reference's work-stealing pool, src/f5c.c:574-679)
+            import os as _os
+
             m = self.model
-            out = {}
-            for st in states:
+
+            def _one(st):
                 r = st.read
                 sc = r.scaling
                 rr, ev, ps = native.realign_read(
@@ -435,11 +440,21 @@ class EventalignEngine:
                     r.event_means, r.b2e_start, st.segments,
                     sc.scale, sc.shift, sc.var, r.events_per_base,
                     m.level_mean, m.level_stdv, m.level_log_stdv)
-                out[id(r)] = EventAlignmentRecords(
+                return id(r), EventAlignmentRecords(
                     ref_position=rr, event_idx=ev, state=ps,
                     rc=bool(r.is_reverse), ref_disamb=st.ref_disamb,
                     ref_offset=st.ref_offset)
-            return out
+
+            n_workers = int(_os.environ.get("F5C_TPU_POST_THREADS",
+                                            _os.cpu_count() or 1))
+            if n_workers > 1 and len(states) > 3:
+                pool = getattr(self, "_realign_pool", None)
+                if pool is None:
+                    from concurrent.futures import ThreadPoolExecutor
+                    pool = self._realign_pool = ThreadPoolExecutor(
+                        max_workers=min(n_workers, 8))
+                return dict(pool.map(_one, states))
+            return dict(_one(st) for st in states)
 
         if rank_parts:
             # pools uploaded once per batch; rounds only ship tiny specs
