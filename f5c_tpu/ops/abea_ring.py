@@ -156,7 +156,8 @@ def _fill_kernel_ring(n_events_ref, n_kmers_ref, scal_ref,
 
     detile_i = jnp.int32(0) * sub81
 
-    def group_body(grp, carry):
+    def make_group_body(with_cand):
+      def group_body(grp, carry):
         prev, prev2, ll_k_v, best_s, best_e, acc = carry
         base_bi = 2 + grp * GRP
 
@@ -242,18 +243,20 @@ def _fill_kernel_ring(n_events_ref, n_kmers_ref, scal_ref,
             row = jnp.where(is_trim, lp_trim * bi.astype(jnp.float32), row)
             frm = jnp.where(is_trim, jnp.int32(FROM_U), frm)
 
-            # backtrace start: last-kmer-column score + trim tail
-            e_lc = bi - 1 - n_km_v
-            off_lc = (n_km_v - 1) - ll_k_v
-            lcv = jnp.max(jnp.where(lane8 == e_lc % PAD, row, NEG_INF),
-                          axis=1, keepdims=True)
-            cand = lcv + (n_ev_v - e_lc).astype(jnp.float32) * lp_trim
-            okc = ((off_lc >= 0) & (off_lc < BW) & (e_lc >= 0)
-                   & (e_lc < n_ev_v) & (bi < n_bands_v))
-            cand = jnp.where(okc, cand, NEG_INF)
-            upd = cand > best_s
-            best_s = jnp.where(upd, cand, best_s)
-            best_e = jnp.where(upd, e_lc, best_e)
+            if with_cand:
+                # backtrace start: last-kmer-column score + trim tail
+                e_lc = bi - 1 - n_km_v
+                off_lc = (n_km_v - 1) - ll_k_v
+                lcv = jnp.max(jnp.where(lane8 == e_lc % PAD, row,
+                                        NEG_INF),
+                              axis=1, keepdims=True)
+                cand = lcv + (n_ev_v - e_lc).astype(jnp.float32) * lp_trim
+                okc = ((off_lc >= 0) & (off_lc < BW) & (e_lc >= 0)
+                       & (e_lc < n_ev_v) & (bi < n_bands_v))
+                cand = jnp.where(okc, cand, NEG_INF)
+                upd = cand > best_s
+                best_s = jnp.where(upd, cand, best_s)
+                best_e = jnp.where(upd, e_lc, best_e)
 
             # pack: word lane l accumulates dirs of lanes l-3..l (cyclic
             # rolls match the walk's e & 127 wrap) at bit 8*(bi&3)+2*ii;
@@ -277,6 +280,8 @@ def _fill_kernel_ring(n_events_ref, n_kmers_ref, scal_ref,
 
         return prev, prev2, ll_k_v, best_s, best_e, acc
 
+      return group_body
+
     carry0 = (band1, band0,
               jnp.full((R, 1), ll_k0, jnp.int32) + detile_i,
               jnp.full((R, 1), NEG_INF, jnp.float32)
@@ -284,7 +289,16 @@ def _fill_kernel_ring(n_events_ref, n_kmers_ref, scal_ref,
               jnp.full((R, 1), -1, jnp.int32) + detile_i,
               acc0)
     n_groups = (nb_grp - 2 + GRP - 1) // GRP
-    carry = jax.lax.fori_loop(0, n_groups, group_body, carry0)
+    # backtrace candidates need bi >= n_kmers + 1 (e_lc >= 0): groups
+    # wholly below the group's smallest n_kmers skip the per-step
+    # last-column reduction entirely (~half the bands on this data)
+    min_nk = n_km_s[0]
+    for j in range(1, R):
+        min_nk = jnp.minimum(min_nk, n_km_s[j])
+    g_cand = jnp.clip((min_nk - 1) // GRP, 0, n_groups)
+    carry = jax.lax.fori_loop(0, g_cand, make_group_body(False), carry0)
+    carry = jax.lax.fori_loop(g_cand, n_groups, make_group_body(True),
+                              carry)
     best_e = carry[4]
     acc_tail = carry[5]
 
