@@ -925,13 +925,14 @@ class Pipeline:
         if self._use_pallas() and kernel == "ring" \
                 and not self._mesh_devices():
             return self._align_bucketed_async(todo, ranks)
+        from ..ops.abea_ring import R as _RS
+
         sub: list[ReadRecord] = []
         for r in todo:
             cand = sub + [r]
             E = _bucket(max(x.n_events for x in cand))
             K = _bucket(max(len(x.seq) for x in cand) - self.model.k + 1)
             nb = E + K + 2
-            from ..ops.abea_ring import R as _RS
             b_pad = _bucket(len(cand), minimum=_RS)
             if sub and b_pad * nb * 128 * 4 > self.TRACE_BYTES_BUDGET:
                 self._trace_budget_splits += 1
