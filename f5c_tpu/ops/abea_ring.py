@@ -52,8 +52,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .abea import (BW, CHUNK, FROM_D, FROM_L, FROM_U, PAD, AbeaBatch,
-                   expand_batch_device)
+from .abea import BW, CHUNK, FROM_D, FROM_L, FROM_U, PAD, AbeaBatch
 
 NEG_INF = np.float32(-np.inf)
 LOG_INV_SQRT_2PI = np.float32(-0.918938)
