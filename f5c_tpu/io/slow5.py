@@ -435,23 +435,33 @@ class Slow5File:
         return list(self._index.keys()) if self._index else []
 
     def get(self, read_id: str) -> Signal:
+        return self.decode_record(self.read_record_bytes(read_id),
+                                  read_id)
+
+    def read_record_bytes(self, read_id: str) -> bytes:
+        """The file-I/O half of get(): index lookup + raw record read.
+        Callers that share one reader across threads need only lock
+        THIS call — decode_record is lock-free, so record
+        decompression parallelises over host cores (the role of
+        slow5lib's slow5_mt multi-thread fetch, slow5_mt.c)."""
         if self._index is None:
             self.create_index()
         if read_id not in self._index:
             raise KeyError(read_id)
         off, size = self._index[read_id]
         self._fh.seek(off)
+        return self._fh.read(size)
+
+    def decode_record(self, data: bytes, read_id: str = "") -> Signal:
         # normalise decode failures (truncated file, corrupt blob,
         # codec errors from zlib/zstd/svb) to RuntimeError so callers
         # can skip-and-count unreadable records (f5cio.c:435-447)
         # without knowing every backend's exception type
         try:
             if self._binary:
-                blob = self._fh.read(size)[4:]
-                rec = self._depress_record(blob)
+                rec = self._depress_record(data[4:])
                 return self._parse_binary_record(rec)
-            line = self._fh.read(size).decode("latin1")
-            return self._parse_ascii_record(line)
+            return self._parse_ascii_record(data.decode("latin1"))
         except (KeyError, RuntimeError, OSError):
             raise
         except Exception as e:

@@ -188,15 +188,20 @@ def _fetch_signal(qname: str, path: str):
                       offset=float(off), range=float(rng),
                       sample_rate=float(rate), read_id=qname)
     try:
-        with _W_FETCH_LOCK:
-            if path.endswith(".blow5") or path.endswith(".slow5"):
+        if path.endswith(".blow5") or path.endswith(".slow5"):
+            # the shared reader's file handle needs the lock only for
+            # the seek+read; decompression runs lock-free so threaded
+            # loaders decode records in parallel (slow5_mt.c's role)
+            with _W_FETCH_LOCK:
                 f5 = _W.get("slow5")
                 if f5 is None or f5.path != path:
                     from ..io.slow5 import Slow5File
 
                     f5 = _W["slow5"] = Slow5File(path)
-                sig = f5.get(qname)
-            else:
+                data = f5.read_record_bytes(qname)
+            sig = f5.decode_record(data, qname)
+        else:
+            with _W_FETCH_LOCK:
                 from ..io.fast5 import read_fast5_signal
 
                 sig = read_fast5_signal(path, read_id=qname)
