@@ -96,10 +96,11 @@ def _hmm_kernel(ev_start_ref, gp_mean_ref, gp_inv_ref, gp_log_ref,
     S_bcast = same_seg.astype(jnp.float32)
     L_csum = (same_seg & ((row_i % SEG) <= (col_i % SEG))).astype(
         jnp.float32)
-    r8 = jax.lax.broadcasted_iota(jnp.int32, (RT, R), 0)
-    c8 = jax.lax.broadcasted_iota(jnp.int32, (RT, R), 1)
-    E0 = (c8 == 0).astype(jnp.float32)     # dot(E0, T)[j] = T[0]
-    E1 = (c8 == 1).astype(jnp.float32)     # dot(E1, T)[j] = T[1]
+    c8b = jax.lax.broadcasted_iota(jnp.int32, (8, R), 1)
+    E0b = (c8b == 0).astype(jnp.float32)   # dot(E0b, T)[j] = T[0]
+    E1b = (c8b == 1).astype(jnp.float32)   # dot(E1b, T)[j] = T[1]
+    lane8b = jax.lax.broadcasted_iota(jnp.int32, (8, PAD), 1)
+    sub8b = jax.lax.broadcasted_iota(jnp.int32, (8, PAD), 0)
 
     def logaddexp(a, b):
         m = jnp.maximum(a, b)
@@ -130,31 +131,40 @@ def _hmm_kernel(ev_start_ref, gp_mean_ref, gp_inv_ref, gp_log_ref,
         # 2 consecutive tiles; align it with sublane+lane rolls, then
         # pick between the two candidate sublanes per lane
         def refill():
-            nr = jnp.zeros((RT, PAD), jnp.float32)
-            for j in range(RT):
-                for w in range(SEGS):
-                    pos = starts[j][w] + i
-                    r0 = jnp.clip(pos // TILE, 0, Lb - 2)
-                    s0 = (pos % TILE) // PAD
-                    pm = pos % PAD
-                    T0 = pool_vmem[r0]
-                    T1 = pool_vmem[r0 + 1]
-                    sh_s = (R - s0) % R
-                    Ta = pltpu.roll(T0, sh_s, 0)
-                    Tb = pltpu.roll(T1, sh_s, 0)
-                    V = jnp.where(sub8p < (R - s0), Ta, Tb)
-                    C = pltpu.roll(V, (w * SEG - pm) % PAD, 1)
-                    row0 = jnp.dot(E0, C,
-                                   preferred_element_type=jnp.float32,
-                   precision=jax.lax.Precision.HIGHEST)
-                    row1 = jnp.dot(E1, C,
-                                   preferred_element_type=jnp.float32,
-                   precision=jax.lax.Precision.HIGHEST)
-                    cross = (lane8 - (w * SEG)) >= (PAD - pm)
-                    val = jnp.where(cross, row1, row0)
-                    sel = (sub8 == j) & ((lane8 // SEG) == w)
-                    nr = jnp.where(sel, val, nr)
-            return nr
+            # blocked by 8 window-rows: every per-(row, segment) merge
+            # runs on a single (8, PAD) vreg instead of the full
+            # (RT, PAD) tile — the same linear-in-RT blocking as the
+            # fill kernel's ring loads
+            blocks = []
+            for b0 in range(0, RT, 8):
+                nrb = jnp.zeros((8, PAD), jnp.float32)
+                for j in range(b0, b0 + 8):
+                    for w in range(SEGS):
+                        pos = starts[j][w] + i
+                        r0 = jnp.clip(pos // TILE, 0, Lb - 2)
+                        s0 = (pos % TILE) // PAD
+                        pm = pos % PAD
+                        T0 = pool_vmem[r0]
+                        T1 = pool_vmem[r0 + 1]
+                        sh_s = (R - s0) % R
+                        Ta = pltpu.roll(T0, sh_s, 0)
+                        Tb = pltpu.roll(T1, sh_s, 0)
+                        V = jnp.where(sub8p < (R - s0), Ta, Tb)
+                        C = pltpu.roll(V, (w * SEG - pm) % PAD, 1)
+                        row0 = jnp.dot(E0b, C,
+                                       preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
+                        row1 = jnp.dot(E1b, C,
+                                       preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
+                        cross = (lane8b - (w * SEG)) >= (PAD - pm)
+                        val = jnp.where(cross, row1, row0)
+                        sel = ((sub8b == (j - b0))
+                               & ((lane8b // SEG) == w))
+                        nrb = jnp.where(sel, val, nrb)
+                blocks.append(nrb)
+            return (blocks[0] if len(blocks) == 1
+                    else jnp.concatenate(blocks, axis=0))
 
         ring = jax.lax.cond(i % SEG == 0, refill, lambda: ring)
 
